@@ -1,0 +1,200 @@
+"""Typed configuration for the TPU-native SPAIR framework.
+
+Every hyperparameter of the reference (``/root/reference/spair/config.py:1-81``)
+is preserved here as a field with the same default value, but packaged as a
+frozen dataclass so that configs are hashable (usable as jit static args),
+serializable, and composable into the five benchmark presets from
+``BASELINE.json``.
+
+Reference mapping (reference file:line -> field):
+  config.py:3      BATCH_SIZE                  -> batch_size
+  config.py:4      INPUT_IMAGE_SHAPE           -> image_shape (C, H, W)
+  config.py:6      DEFAULT_MLP_TOPOLOGY        -> mlp_hidden
+  config.py:7-14   DEFAULT_BACKBONE_TOPOLOGY   -> backbone_topology
+  config.py:22     N_BACKBONE_FEATURES         -> n_backbone_features
+  config.py:24     N_PASSTHROUGH_FEATURES      -> n_passthrough_features
+  config.py:27     N_ATTRIBUTES                -> n_attributes
+  config.py:31     N_LOOKBACK                  -> n_lookback
+  config.py:33     OBJECT_SHAPE                -> object_shape
+  config.py:34     ANCHORBOX_SHAPE             -> anchor_shape
+  config.py:38-41  MAX_YX/MIN_YX/MAX_HW/MIN_HW -> box ranges
+  config.py:45-52  PRIORS                      -> priors
+  config.py:55     VAE_BETA                    -> vae_beta
+  config.py:58-62  LATENT_VAR_TRAINING_WHEEL_PARAM -> training_wheel
+  config.py:65-69  OBJ_PRES_COUNT_LOG_PRIOR    -> count_prior
+  config.py:74-76  OBJ/ALPHA logit scale+bias  -> obj_logit_scale, alpha_*
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Schedule:
+    """Exponential-decay schedule parameters (reference modules.py:191-213)."""
+
+    start: float
+    end: float
+    decay_rate: float
+    decay_step: float
+    staircase: bool = False
+    log_space: bool = False
+
+
+# The reference training-wheel schedule is a hard cliff: value 1.0 for steps
+# 0..999 (0**0 == 1 under staircase) and 0.0 from step 1000 on
+# (reference config.py:58-62 and SURVEY.md quirk #5).
+TRAINING_WHEEL = Schedule(start=1.0, end=0.0, decay_rate=0.0,
+                          decay_step=1000.0, staircase=True)
+
+# Count-prior log-odds anneal: log(1e6+1e-6)~=13.8 at step 0 down to
+# log(0.0125) (reference config.py:65-69).
+COUNT_PRIOR = Schedule(start=1000000.0, end=0.0125, decay_rate=0.1,
+                       decay_step=1000.0, log_space=True)
+
+# Gaussian priors per latent, {name: (mean, std)} (reference config.py:45-52).
+PRIORS: Tuple[Tuple[str, Tuple[float, float]], ...] = (
+    ("cy_logit", (0.0, 1.0)),
+    ("cx_logit", (0.0, 1.0)),
+    ("height_logit", (7.0, 0.5)),
+    ("width_logit", (7.0, 0.5)),
+    ("attr", (0.0, 1.0)),
+    ("depth_logit", (0.0, 1.0)),
+)
+
+# (filters, kernel_size, stride) per conv layer; a final 1x1 conv to
+# n_backbone_features is appended by the backbone builder
+# (reference config.py:7-14, modules.py:43-66).
+BACKBONE_TOPOLOGY: Tuple[Tuple[int, int, int], ...] = (
+    (128, 4, 3),
+    (128, 4, 2),
+    (128, 4, 2),
+    (128, 1, 1),
+    (128, 1, 1),
+    (128, 1, 1),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpairConfig:
+    # --- data / shapes ---
+    image_shape: Tuple[int, int, int] = (1, 128, 128)  # (C, H, W)
+    batch_size: int = 32
+    object_shape: Tuple[int, int] = (28, 28)
+    anchor_shape: Tuple[int, int] = (48, 48)
+
+    # --- network topology ---
+    backbone_topology: Tuple[Tuple[int, int, int], ...] = BACKBONE_TOPOLOGY
+    n_backbone_features: int = 100
+    n_passthrough_features: int = 100
+    n_attributes: int = 50
+    n_lookback: int = 1
+    mlp_hidden: Tuple[int, ...] = (100, 100)
+    encoder_hidden: Tuple[int, ...] = (256, 128)
+    decoder_hidden: Tuple[int, ...] = (128, 256)
+
+    # --- box parameterization ---
+    max_yx: float = 1.5
+    min_yx: float = -0.5
+    max_hw: float = 1.0
+    min_hw: float = 0.0
+
+    # --- priors / loss ---
+    priors: Tuple[Tuple[str, Tuple[float, float]], ...] = PRIORS
+    vae_beta: float = 1.0
+    training_wheel: Schedule = TRAINING_WHEEL
+    count_prior: Schedule = COUNT_PRIOR
+
+    # --- decoder logit conditioning (reference config.py:74-76) ---
+    obj_logit_scale: float = 2.0
+    alpha_logit_scale: float = 0.1
+    alpha_logit_bias: float = 5.0
+
+    # --- TPU-native knobs (no reference counterpart) ---
+    # 'independent': no lateral context, every cell in parallel (config 1).
+    # 'raster':      lax.scan over cells in raster order (reference-faithful
+    #                dataflow, models.py:68).
+    # 'wavefront':   scan over d=2h+w wavefronts; identical math, ~4x fewer
+    #                sequential steps (see models/spair.py).
+    inference_mode: str = "wavefront"
+    # bfloat16 matmuls on the MXU for the hot paths; params and loss stay f32.
+    compute_dtype: str = "float32"
+    # 'xla': scan-over-chunks compositor; 'pallas': fused TPU kernel.
+    render_backend: str = "xla"
+    # Object-chunk size for the XLA compositor scan.
+    render_chunk: int = 16
+    # Emulate the reference's discarded Self_Attn call (models.py:120) for
+    # parameter-count parity. Off by default: no gradient path exists.
+    vestigial_self_attn: bool = False
+
+    # --- training ---
+    learning_rate: float = 1e-4
+    seed: int = 3  # reference train.py:39
+
+    @property
+    def n_channels(self) -> int:
+        return self.image_shape[0]
+
+    @property
+    def context_neighbors(self) -> int:
+        """Number of lateral-context neighbor cells (reference models.py:26)."""
+        return (self.n_lookback * 2 + 1) ** 2 // 2
+
+    @property
+    def context_elem_dim(self) -> int:
+        """Per-neighbor context vector: box(4)+attr+depth(1)+pres(1)."""
+        return 4 + self.n_attributes + 1 + 1
+
+    @property
+    def context_dim(self) -> int:
+        return self.context_neighbors * self.context_elem_dim
+
+
+def paper_config(**overrides) -> SpairConfig:
+    """BASELINE config 2: 128x128 scattered-MNIST, reference hyperparams."""
+    return SpairConfig(**overrides)
+
+
+def small_config(**overrides) -> SpairConfig:
+    """BASELINE config 1: 4x4 grid on 48x48, independent per-cell inference.
+
+    The reference backbone topology (strides 3,2,2 => 12px cells) yields a
+    4x4 grid on a 48x48 input with the same receptive-field padding math.
+    """
+    kw = dict(image_shape=(1, 48, 48), inference_mode="independent",
+              anchor_shape=(24, 24), object_shape=(14, 14))
+    kw.update(overrides)
+    return SpairConfig(**kw)
+
+
+def sequential_config(**overrides) -> SpairConfig:
+    """BASELINE config 3: autoregressive lateral-conditioning scan."""
+    kw = dict(inference_mode="raster")
+    kw.update(overrides)
+    return SpairConfig(**kw)
+
+
+def cluttered_config(**overrides) -> SpairConfig:
+    """BASELINE config 4: cluttered scenes (9+ digits), depth compositing."""
+    kw = dict(inference_mode="wavefront")
+    kw.update(overrides)
+    return SpairConfig(**kw)
+
+
+def tpu_throughput_config(**overrides) -> SpairConfig:
+    """BASELINE config 5: large-batch data-parallel TPU training."""
+    kw = dict(batch_size=256, inference_mode="independent",
+              compute_dtype="bfloat16", render_backend="pallas")
+    kw.update(overrides)
+    return SpairConfig(**kw)
+
+
+PRESETS = {
+    "small48": small_config,
+    "paper128": paper_config,
+    "sequential": sequential_config,
+    "cluttered": cluttered_config,
+    "tpu_throughput": tpu_throughput_config,
+}

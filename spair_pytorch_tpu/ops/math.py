@@ -1,0 +1,74 @@
+"""Latent-math primitives.
+
+TPU-native counterparts of reference ``spair/modules.py:167-189,296`` plus the
+closed-form Gaussian KL that replaces ``torch.distributions.kl_divergence``
+(reference models.py:175). Everything is a pure jnp function; all are safe
+under jit/vmap/scan/grad.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def latent_to_mean_std(latent):
+    """Split a latent vector into (mean, std) along the last axis.
+
+    Matches reference modules.py:167-176 exactly: the second half is mapped
+    through ``2 * sigmoid(clamp(log_std, -10, 10))`` — std in (0, 2) — NOT
+    ``exp(log_std / 2)`` (that variant is commented out in the reference).
+    """
+    mean, log_std = jnp.split(latent, 2, axis=-1)
+    std = 2.0 * jax.nn.sigmoid(jnp.clip(log_std, -10.0, 10.0))
+    return mean, std
+
+
+def clamped_sigmoid(logit, use_analytical: bool = False):
+    """sigmoid(clamp(logit, -10, 10)); reference modules.py:178-189.
+
+    ``use_analytical`` computes 1/(exp(-x)+1) without clamping — the
+    reference uses it in the decoder output path (models.py:492).
+    """
+    if use_analytical:
+        return 1.0 / (jnp.exp(-logit) + 1.0)
+    return jax.nn.sigmoid(jnp.clip(logit, -10.0, 10.0))
+
+
+def safe_log(t):
+    """log(t + 1e-9); reference modules.py:296-297."""
+    return jnp.log(t + 1e-9)
+
+
+def gaussian_kl(mean_q, std_q, mean_p, std_p):
+    """KL(N(mean_q, std_q) || N(mean_p, std_p)), elementwise.
+
+    Closed form replacing torch.distributions.kl_divergence at reference
+    models.py:175. std arguments are standard deviations.
+    """
+    var_ratio = jnp.square(std_q / std_p)
+    t1 = jnp.square((mean_q - mean_p) / std_p)
+    return 0.5 * (var_ratio + t1 - 1.0 - jnp.log(var_ratio))
+
+
+def bernoulli_kl(prob_q, prob_p):
+    """KL(Bern(prob_q) || Bern(prob_p)) with the reference's safe_log
+    placement (models.py:222-226)."""
+    return (prob_q * (safe_log(prob_q) - safe_log(prob_p))
+            + (1.0 - prob_q) * (safe_log(1.0 - prob_q) - safe_log(1.0 - prob_p)))
+
+
+def binary_cross_entropy_sum(recon, target):
+    """Sum-reduced BCE matching ``F.binary_cross_entropy(reduction='sum')``
+    (reference models.py:547), including torch's clamp of each log term at
+    -100 which protects recon values of exactly 0 or 1."""
+    log_r = jnp.maximum(jnp.log(recon), -100.0)
+    log_1mr = jnp.maximum(jnp.log(1.0 - recon), -100.0)
+    return -jnp.sum(target * log_r + (1.0 - target) * log_1mr)
+
+
+def logistic_noise(key, shape, eps: float = 1e-9):
+    """log(u+eps) - log(1-u+eps), u ~ U(0,1): the relaxed-Bernoulli noise of
+    reference models.py:400-404 (eps there is 10e-10 = 1e-9)."""
+    u = jax.random.uniform(key, shape)
+    return jnp.log(u + eps) - jnp.log(1.0 - u + eps)

@@ -1,0 +1,63 @@
+"""MLP factory with shared trunk and multiple output heads.
+
+TPU-native counterpart of reference ``spair/modules.py:124-165``
+(``build_MLP`` / ``SequentialMultipleOutput``): hidden layers with ReLU, then
+either a single linear head or several linear heads off the shared trunk
+(the reference uses two-head MLPs for the box and depth networks to produce
+latent params plus passthrough features, models.py:145,156).
+
+Plain pytree params + pure apply functions: trivially composable with
+vmap/scan/pjit, and the per-cell networks batch over (B * active_cells) rows
+as a single matmul per layer.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from spair_pytorch_tpu.ops.backbone import uniform_fan_in
+
+
+def _init_linear(key, n_in: int, n_out: int):
+    wk, bk = jax.random.split(key)
+    return {"w": uniform_fan_in(wk, (n_in, n_out), n_in),
+            "b": uniform_fan_in(bk, (n_out,), n_in)}
+
+
+def init_mlp(key, n_in: int, hidden: Sequence[int], heads: Sequence[int]):
+    """Params for trunk ``hidden`` + one linear head per entry of ``heads``."""
+    layers = []
+    n_prev = n_in
+    for h in hidden:
+        key, sub = jax.random.split(key)
+        layers.append(_init_linear(sub, n_prev, h))
+        n_prev = h
+    head_params = []
+    for out in heads:
+        key, sub = jax.random.split(key)
+        head_params.append(_init_linear(sub, n_prev, out))
+    return {"trunk": layers, "heads": head_params}
+
+
+def apply_mlp(params, x, dtype=None):
+    """x: (..., n_in) -> tuple of head outputs (..., head_dim)."""
+    if dtype is not None:
+        x = x.astype(dtype)
+
+    def dense(layer, v):
+        w, b = layer["w"], layer["b"]
+        if dtype is not None:
+            w, b = w.astype(dtype), b.astype(dtype)
+        return jnp.dot(v, w, preferred_element_type=v.dtype) + b
+
+    for layer in params["trunk"]:
+        x = jax.nn.relu(dense(layer, x))
+    return tuple(dense(head, x) for head in params["heads"])
+
+
+def apply_mlp1(params, x, dtype=None):
+    """Single-head convenience wrapper."""
+    return apply_mlp(params, x, dtype)[0]
