@@ -1,0 +1,81 @@
+"""KL terms: independent Gaussian latents + the autoregressive count prior.
+
+TPU-native counterpart of reference ``SPAIR._compute_KL``
+(spair/models.py:169-262). The independent-latent KLs are one fused
+elementwise expression over the whole (B, grid_h, grid_w) map; the
+sequential count-prior chain (reference's second 121-iteration Python loop,
+models.py:204-257) becomes a single ``lax.scan`` carrying
+(count_distribution, count_so_far) over cells in raster order.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from spair_pytorch_tpu.config import SpairConfig
+from spair_pytorch_tpu.ops.math import bernoulli_kl, gaussian_kl
+from spair_pytorch_tpu.ops.schedules import exponential_decay
+
+
+def independent_kl(posterior: Dict, z_pres, cfg: SpairConfig) -> Dict:
+    """Per-latent KL against the fixed Gaussian priors, masked by z_pres.
+
+    posterior: {name: (mean, std)} with arrays (B, gh, gw, D).
+    z_pres: (B, gh, gw, 1) — presence gates every latent's KL
+    (reference models.py:172-177; SURVEY quirk #12).
+    """
+    priors = dict(cfg.priors)
+    out = {}
+    for name, (mean, std) in posterior.items():
+        p_mean, p_std = priors[name]
+        out[name] = z_pres * gaussian_kl(mean, std, p_mean, p_std)
+    return out
+
+
+def count_prior_kl(z_pres_prob, z_pres, step, cfg: SpairConfig):
+    """SPAIR Appendix-B presence KL with the annealed geometric count prior.
+
+    z_pres_prob, z_pres: (B, gh, gw, 1). Returns (B, gh, gw, 1).
+
+    Faithful to reference models.py:179-257 including numerical details:
+    the clamp bounds of p(z|C), safe-log placement in the Bernoulli KL, the
+    1e-6 floor on the count-distribution normalizer, and the use of the
+    ROUNDED relaxed sample for the count update (SURVEY quirk #4).
+    """
+    b, gh, gw, _ = z_pres_prob.shape
+    hw = gh * gw
+    support = jnp.arange(hw + 1, dtype=jnp.float32)  # (HW+1,)
+
+    log_odds = exponential_decay(step, cfg.count_prior)
+    prior_prob = 1.0 / (jnp.exp(-log_odds) + 1.0)  # analytical sigmoid
+    count_dist = (1.0 - prior_prob) * jnp.power(prior_prob, support)
+    count_dist = count_dist / jnp.sum(count_dist)
+    count_dist = jnp.broadcast_to(count_dist, (b, hw + 1))
+
+    probs = z_pres_prob.reshape(b, hw).T  # (HW, B) raster order
+    samples = jnp.round(z_pres.reshape(b, hw).T)
+
+    def body(carry, xs):
+        count_dist, count_so_far = carry
+        prob, sample, i = xs
+        remaining = hw - i
+        p_z_given_c = jnp.clip(support[None, :] - count_so_far,
+                               0.0, remaining) / remaining
+        p_z = jnp.sum(count_dist * p_z_given_c, axis=-1)  # (B,)
+        kl = bernoulli_kl(prob, p_z)
+        mult = (sample[:, None] * p_z_given_c
+                + (1.0 - sample[:, None]) * (1.0 - p_z_given_c))
+        new_dist = mult * count_dist
+        normalizer = jnp.clip(jnp.sum(new_dist, axis=-1, keepdims=True),
+                              1e-6, None)
+        new_dist = new_dist / normalizer
+        count_so_far = count_so_far + sample[:, None]
+        return (new_dist, count_so_far), kl
+
+    init = (count_dist, jnp.zeros((b, 1)))
+    xs = (probs, samples, jnp.arange(hw, dtype=jnp.float32))
+    _, kls = jax.lax.scan(body, init, xs)  # (HW, B)
+    return kls.T.reshape(b, gh, gw, 1)

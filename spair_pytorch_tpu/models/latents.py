@@ -1,0 +1,215 @@
+"""SPAIR latent heads: parameter init and the per-cell inference step.
+
+TPU-native counterpart of the head networks and sampling logic in reference
+``spair/models.py`` (``_build_networks`` models.py:133-167, ``_build_box``
+models.py:322-381, ``_encode_attr`` models.py:383-391, depth head
+models.py:87-97, ``_build_obj_pres`` models.py:393-411, ``_freeze_learning``
+models.py:413-429, ``_build_edge_element`` models.py:273-290).
+
+Key departures from the reference, by design:
+  * ``cell_step`` operates on a BATCH of cells (B, K, ...) so that the
+    independent mode runs all 121 cells as one set of matmuls and the
+    wavefront mode runs each wavefront's cells in parallel — the reference
+    visits cells one at a time in a Python loop (models.py:68).
+  * All stochasticity is pre-sampled per cell OUTSIDE the scan
+    (``sample_noise``) and sliced inside, so every inference order computes
+    the identical function of (params, x, noise) — raster, wavefront and
+    independent modes are comparable draw-for-draw.
+  * stop-gradient mixing replaces ``.detach()`` mixing for the training
+    wheel (identical values, identical gradient-blocking semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from spair_pytorch_tpu.config import SpairConfig
+from spair_pytorch_tpu.ops.backbone import grid_geometry, init_backbone
+from spair_pytorch_tpu.ops.math import clamped_sigmoid, latent_to_mean_std
+from spair_pytorch_tpu.ops.mlp import apply_mlp, apply_mlp1, init_mlp
+from spair_pytorch_tpu.ops.stn import crop_glimpses
+
+
+def geometry(cfg: SpairConfig):
+    """(pads, (grid_h, grid_w), (cell_h, cell_w)) for the configured image."""
+    return grid_geometry(cfg.image_shape[1:], cfg.backbone_topology)
+
+
+def init_params(key, cfg: SpairConfig) -> Dict:
+    """Initialize every network (reference models.py:133-167 topology).
+
+    Input sizes are derived, matching the verified reference dimensions
+    (SURVEY.md section 2): box 100+224=324, z 478, obj 479, encoder C*oh*ow,
+    decoder A -> oh*ow*(C+1).
+    """
+    c, oh, ow = cfg.n_channels, cfg.object_shape[0], cfg.object_shape[1]
+    keys = jax.random.split(key, 8)
+    n_feat = cfg.n_backbone_features
+    n_pass = cfg.n_passthrough_features
+    ctx = cfg.context_dim
+    a = cfg.n_attributes
+
+    box_in = n_feat + ctx
+    z_in = 4 + a + n_pass + ctx + n_feat
+    obj_in = z_in + 1
+
+    params = {
+        "backbone": init_backbone(keys[0], c, n_feat, cfg.backbone_topology),
+        "box_net": init_mlp(keys[1], box_in, cfg.mlp_hidden, (8, n_pass)),
+        "object_encoder": init_mlp(keys[2], c * oh * ow, cfg.encoder_hidden,
+                                   (2 * a,)),
+        "z_net": init_mlp(keys[3], z_in, cfg.mlp_hidden, (2, n_pass)),
+        "obj_net": init_mlp(keys[4], obj_in, cfg.mlp_hidden, (1,)),
+        "object_decoder": init_mlp(keys[5], a, cfg.decoder_hidden,
+                                   (oh * ow * (c + 1),)),
+        "edge": _init_edge_element(keys[6], cfg),
+    }
+    if cfg.vestigial_self_attn:
+        # Parameter-count parity with the reference's dead Self_Attn
+        # (models.py:667-699): its output is discarded and receives no
+        # gradient, so we register the params but never compute it.
+        d = 4 + a + 1
+        params["self_attn"] = {
+            "query": init_mlp(keys[7], d, (), (d // 8,)),
+            "key": init_mlp(jax.random.fold_in(keys[7], 1), d, (), (d // 8,)),
+            "value": init_mlp(jax.random.fold_in(keys[7], 2), d, (), (d,)),
+            "gamma": jnp.zeros((1,)),
+        }
+    return params
+
+
+def _init_edge_element(key, cfg: SpairConfig):
+    """Learnable virtual edge cell (reference models.py:273-290): random
+    normal, with sigmoid applied ONCE at init to the loc/depth/pres slices
+    (SURVEY.md quirk #13). Layout [loc(4), attr(A), depth(1), pres(1)]."""
+    t = jax.random.normal(key, (cfg.context_elem_dim,))
+    loc, attr, depth, pres = jnp.split(
+        t, [4, 4 + cfg.n_attributes, 4 + cfg.n_attributes + 1])
+    return jnp.concatenate([jax.nn.sigmoid(loc), attr,
+                            jax.nn.sigmoid(depth), jax.nn.sigmoid(pres)])
+
+
+def sample_noise(key, batch: int, grid_hw: Tuple[int, int], cfg: SpairConfig):
+    """Pre-sample every stochastic draw for one forward pass.
+
+    The reference draws 7 values per cell inside its loop (4 box + attr +
+    depth Normals via rsample, plus a Uniform for the presence logistic
+    noise — models.py:333-336,84,95,400-404). Drawing them up-front keeps
+    the scan body deterministic and makes all inference orders equivalent.
+    """
+    gh, gw = grid_hw
+    ks = jax.random.split(key, 4)
+    a = cfg.n_attributes
+    u = jax.random.uniform(ks[3], (batch, gh, gw, 1))
+    eps = 1e-9  # reference eps = 10e-10 (models.py:402)
+    return {
+        "box": jax.random.normal(ks[0], (batch, gh, gw, 4)),
+        "attr": jax.random.normal(ks[1], (batch, gh, gw, a)),
+        "depth": jax.random.normal(ks[2], (batch, gh, gw, 1)),
+        "pres_noise": jnp.log(u + eps) - jnp.log(1.0 - u + eps),
+    }
+
+
+def freeze_learning(v, tw):
+    """tw * stop_grad(v) + (1 - tw) * v (reference models.py:413-429):
+    value-preserving, blocks gradients while the training wheel is on."""
+    return tw * jax.lax.stop_gradient(v) + (1.0 - tw) * v
+
+
+def cell_step(params, cfg: SpairConfig, geom, image, feat_cells, context,
+              noise, cell_hw, tw, dtype=None):
+    """Run every head for a set of K cells in parallel.
+
+    Args:
+      image:      (B, C, H, W) input batch (for glimpse crops).
+      feat_cells: (B, K, F) backbone features of the active cells.
+      context:    (B, K, context_dim) lateral context (edge element outside).
+      noise:      dict of per-cell noise slices, each (B, K, ...).
+      cell_hw:    (K, 2) int cell coordinates (h, w).
+      tw:         training-wheel scalar.
+
+    Returns a dict with sampled latents, posterior (mean, std) pairs keyed by
+    the reference's distribution names, the presence probability, and the
+    56-dim context vector each cell exposes to its neighbors.
+    """
+    _, grid, cell_px = geom
+    img_h, img_w = cfg.image_shape[1:]
+
+    # --- z_where (reference models.py:76-79, 322-381) ---
+    box_in = jnp.concatenate([feat_cells, context], axis=-1)
+    box_latent, passthru = apply_mlp(params["box_net"], box_in, dtype)
+    mean, std = latent_to_mean_std(box_latent)
+    mean, std = freeze_learning(mean, tw), freeze_learning(std, tw)
+    box_logits = mean + std * noise["box"]  # rsample, order (cy, cx, h, w)
+    cy_l, cx_l, h_l, w_l = jnp.split(box_logits, 4, axis=-1)
+
+    yx_range = cfg.max_yx - cfg.min_yx
+    cell_y = yx_range * clamped_sigmoid(cy_l) + cfg.min_yx
+    cell_x = yx_range * clamped_sigmoid(cx_l) + cfg.min_yx
+    hw_range = cfg.max_hw - cfg.min_hw
+    height = hw_range * clamped_sigmoid(h_l) + cfg.min_hw
+    width = hw_range * clamped_sigmoid(w_l) + cfg.min_hw
+
+    # context/box layout is x-first (reference models.py:361)
+    box = jnp.concatenate([cell_x, cell_y, width, height], axis=-1)
+
+    # image-normalized [xt, yt, xs, ys] (reference models.py:363-376)
+    ys = height * cfg.anchor_shape[0] / img_h
+    xs = width * cfg.anchor_shape[1] / img_w
+    h_idx = cell_hw[:, 0].astype(jnp.float32)[None, :, None]
+    w_idx = cell_hw[:, 1].astype(jnp.float32)[None, :, None]
+    yt = (cell_px[0] / img_h) * (cell_y + h_idx)
+    xt = (cell_px[1] / img_w) * (cell_x + w_idx)
+    z_where = jnp.concatenate([xt, yt, xs, ys], axis=-1)
+
+    # --- z_what (reference models.py:82-85, 383-391) ---
+    glimpses = crop_glimpses(image, z_where, cfg.object_shape, dtype)
+    b, k = glimpses.shape[:2]
+    flat = glimpses.reshape(b, k, -1)
+    attr_latent = apply_mlp1(params["object_encoder"], flat, dtype)
+    attr_mean, attr_std = latent_to_mean_std(attr_latent)
+    attr = attr_mean + attr_std * noise["attr"]
+
+    # --- z_depth (reference models.py:87-97) ---
+    z_in = jnp.concatenate([feat_cells, context, passthru, box, attr], axis=-1)
+    depth_latent, passthru2 = apply_mlp(params["z_net"], z_in, dtype)
+    depth_mean, depth_std = latent_to_mean_std(depth_latent)
+    depth_mean = freeze_learning(depth_mean, tw)
+    depth_std = freeze_learning(depth_std, tw)
+    depth_logits = depth_mean + depth_std * noise["depth"]
+    depth = 4.0 * clamped_sigmoid(depth_logits)
+
+    # --- z_pres (reference models.py:100-102, 393-411) ---
+    obj_in = jnp.concatenate([feat_cells, context, passthru2, box, attr,
+                              depth], axis=-1)
+    pres_logit = apply_mlp1(params["obj_net"], obj_in, dtype)
+    pres_logit = freeze_learning(pres_logit, tw)
+    log_odds = jnp.clip(pres_logit, -10.0, 10.0)
+    pre_sigmoid = log_odds + noise["pres_noise"]
+    pres_prob = jax.nn.sigmoid(pre_sigmoid)
+    pres = pres_prob  # relaxed sample == prob; no rounding (SURVEY quirk #4)
+
+    ctx_vec = jnp.concatenate([box, attr, depth, pres], axis=-1)
+
+    cy_m, cx_m, h_m, w_m = jnp.split(mean, 4, axis=-1)
+    cy_s, cx_s, h_s, w_s = jnp.split(std, 4, axis=-1)
+    posterior = {
+        "cy_logit": (cy_m, cy_s),
+        "cx_logit": (cx_m, cx_s),
+        "height_logit": (h_m, h_s),
+        "width_logit": (w_m, w_s),
+        "attr": (attr_mean, attr_std),
+        "depth_logit": (depth_mean, depth_std),
+    }
+    return {
+        "z_where": z_where,
+        "z_attr": attr,
+        "z_depth": depth,
+        "z_pres": pres,
+        "z_pres_prob": pres_prob,
+        "posterior": posterior,
+        "context_vec": ctx_vec,
+    }

@@ -1,0 +1,132 @@
+"""Object decoder + compositing renderer.
+
+TPU-native counterpart of reference ``SPAIR._render``
+(spair/models.py:452-542) and the decoder head (models.py:162-165,474-493).
+
+The reference decodes all B*121 glimpses in one MLP, pastes each onto its
+own full-size canvas via grid_sample (materializing a B x 121 x 3 x 128 x 128
+tensor, ~760 MB at batch 32), then normalizes the depth-weighted importance
+across objects and sums. Here:
+
+  * decode is one batched matmul (same),
+  * paste is the separable-matmul STN (ops/stn.py),
+  * the composite accumulates over object CHUNKS with ``lax.scan``, so peak
+    memory is (B, chunk, C+2, H, W) instead of all 121 objects at once.
+    Because the reference normalizes importance AFTER pasting
+    (models.py:527-537), output = num / den with
+      num = sum_o paste(alpha_o) * paste(color_o) * (paste(imp_o) + 1e-9)
+      den = sum_o (paste(imp_o) + 1e-9)
+    both of which are chunk-associative — one pass, no 121-object tensor.
+  * ``render_backend='pallas'`` swaps in the fused TPU kernel
+    (ops/pallas/composite.py) that tiles the canvas and runs the paste
+    matmuls on the MXU entirely in VMEM.
+
+Compositing semantics note (SURVEY quirk #7): the reference's "importance"
+(clamped alpha * depth, normalized over objects) is a gradient-shaping
+approximation of z-ordered alpha compositing, not true alpha-over. We
+reproduce it exactly; a corrected depth-ordered mode can be layered on.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from spair_pytorch_tpu.config import SpairConfig
+from spair_pytorch_tpu.ops.math import clamped_sigmoid
+from spair_pytorch_tpu.ops.mlp import apply_mlp1
+from spair_pytorch_tpu.ops.stn import paste_weights
+
+
+def decode_objects(params, cfg: SpairConfig, z_attr, z_pres, z_depth,
+                   dtype=None):
+    """z_attr (B, N, A) -> (color, alpha, importance), each (B, N, ·, oh, ow).
+
+    Matches reference models.py:474-504: logits scaled (color x2.0,
+    alpha x0.1 + 5.0), analytical sigmoid, alpha gated by z_pres,
+    importance = clamp(alpha * depth, min=0.01).
+    """
+    c = cfg.n_channels
+    oh, ow = cfg.object_shape
+    logits = apply_mlp1(params["object_decoder"], z_attr, dtype)
+    b, n = logits.shape[:2]
+    logits = logits.reshape(b, n, oh, ow, c + 1)
+    color_logits = logits[..., :c] * cfg.obj_logit_scale
+    alpha_logits = (logits[..., c:] * cfg.alpha_logit_scale
+                    + cfg.alpha_logit_bias)
+    color = clamped_sigmoid(color_logits, use_analytical=True)
+    alpha = clamped_sigmoid(alpha_logits, use_analytical=True)
+
+    alpha = alpha * z_pres[..., None, None, :]          # (B,N,oh,ow,1)
+    importance = jnp.clip(alpha * z_depth[..., None, None, :], 0.01, None)
+    # to channel-first glimpse layout (B, N, C, oh, ow)
+    color = jnp.moveaxis(color, -1, 2)
+    alpha = jnp.moveaxis(alpha, -1, 2)
+    importance = jnp.moveaxis(importance, -1, 2)
+    return color, alpha, importance
+
+
+def composite_xla(color, alpha, importance, z_where, image_hw, chunk: int):
+    """Chunked paste-and-composite. Inputs (B, N, ·, oh, ow) + boxes
+    (B, N, 4) -> canvas (B, C, H, W), un-clamped num/den form."""
+    b, n, c = color.shape[:3]
+    oh, ow = color.shape[-2:]
+    h, w = image_hw
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    if pad:
+        def padn(t):
+            return jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
+        color, alpha, importance, z_where = map(
+            padn, (color, alpha, importance, z_where))
+        n = n + pad
+    steps = n // chunk
+
+    def reshape_chunks(t):
+        return t.reshape((b, steps, chunk) + t.shape[2:]).swapaxes(0, 1)
+
+    xs = tuple(map(reshape_chunks, (color, alpha, importance, z_where)))
+
+    def body(carry, x):
+        num, den = carry
+        col, alp, imp, boxes = x
+        py, px = paste_weights(boxes, (oh, ow), (h, w))
+        glimpse = jnp.concatenate([col, alp, imp], axis=2)  # (B,k,C+2,oh,ow)
+        tmp = jnp.einsum("bnhy,bncyx->bnchx", py, glimpse)
+        pasted = jnp.einsum("bnchx,bnwx->bnchw", tmp, px)
+        p_col = pasted[:, :, :c]
+        p_alp = pasted[:, :, c:c + 1]
+        # padded objects paste zeros; the reference adds 1e-9 to every REAL
+        # object's pasted importance (models.py:527), so add it pre-masked.
+        p_imp = pasted[:, :, c + 1:c + 2] + 1e-9
+        num = num + jnp.sum(p_alp * p_col * p_imp, axis=1)
+        den = den + jnp.sum(p_imp, axis=1)
+        return (num, den), None
+
+    num0 = jnp.zeros((b, c, h, w), color.dtype)
+    den0 = jnp.zeros((b, 1, h, w), color.dtype)
+    (num, den), _ = jax.lax.scan(body, (num0, den0), xs)
+    if pad:
+        # keep den consistent with the reference's sum over exactly N
+        # objects of (paste + 1e-9): padded objects contributed 1e-9 each.
+        den = den - pad * 1e-9
+    return num, den
+
+
+def render(params, cfg: SpairConfig, z_attr, z_where, z_depth, z_pres,
+           image_hw, dtype=None):
+    """Latent grids (B, gh, gw, ·) -> reconstruction (B, C, H, W) in [0, 1]."""
+    b, gh, gw = z_attr.shape[:3]
+    n = gh * gw
+    flat = lambda t: t.reshape(b, n, t.shape[-1])
+    color, alpha, importance = decode_objects(
+        params, cfg, flat(z_attr), flat(z_pres), flat(z_depth), dtype)
+    boxes = flat(z_where)
+    if cfg.render_backend == "pallas":
+        from spair_pytorch_tpu.ops.pallas.composite import composite_pallas
+        num, den = composite_pallas(color, alpha, importance, boxes, image_hw)
+    else:
+        num, den = composite_xla(color, alpha, importance, boxes, image_hw,
+                                 cfg.render_chunk)
+    out = num / den
+    return jnp.clip(out, 0.0, 1.0)

@@ -1,0 +1,233 @@
+"""The SPAIR model: forward pass, inference orders, and loss.
+
+TPU-native counterpart of reference ``SPAIR.forward`` + ``_build_loss``
+(spair/models.py:35-131,544-563). The reference's 121-iteration Python loop
+over grid cells becomes one of three compiled inference orders sharing the
+same ``cell_step`` (models/latents.py):
+
+  * ``independent``: no lateral context (every cell sees the learnable edge
+    element) — all cells in parallel, one batched matmul per head. This is
+    BASELINE config 1 and the throughput mode.
+  * ``raster``: ``lax.scan`` over cells in the reference's raster order —
+    the faithful dataflow (models.py:68).
+  * ``wavefront``: ``lax.scan`` over wavefronts of constant d = 2h + w.
+    The lateral-context dependency set {(-1,-1),(-1,0),(-1,1),(0,-1)}
+    (models.py:294-307) makes plain anti-diagonals (h+w) NOT independent —
+    the up-right neighbor (h-1, w+1) lies on the same anti-diagonal — but
+    all four neighbors have strictly smaller 2h+w, so d-wavefronts are a
+    valid topological order: 31 scan steps with up to ceil(min(gh, gw)/1)/2
+    cells each instead of 121 sequential steps, computing the exact same
+    function (noise is pre-sampled per cell, so raster and wavefront agree
+    to float-reassociation; asserted in tests/test_model.py).
+
+Lateral context is held in a zero-copy "halo" buffer: a flat
+(grid_h+2)x(grid_w+2)+1 board initialized with the edge element. Cells
+write their 56-dim context vector at their padded coordinate; neighbors
+outside the grid (or not yet visited) naturally read the edge element, and
+one extra trash slot absorbs writes from masked wavefront lanes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spair_pytorch_tpu.config import SpairConfig
+from spair_pytorch_tpu.models.kl import count_prior_kl, independent_kl
+from spair_pytorch_tpu.models.latents import (cell_step, geometry,
+                                              init_params, sample_noise)
+from spair_pytorch_tpu.models.render import render
+from spair_pytorch_tpu.ops.backbone import apply_backbone
+from spair_pytorch_tpu.ops.math import binary_cross_entropy_sum
+from spair_pytorch_tpu.ops.schedules import exponential_decay
+
+__all__ = ["init_params", "forward", "loss_and_metrics", "geometry",
+           "inference_schedule"]
+
+# Neighbor offsets in reference order [(-1,-1), (-1,0), (-1,1), (0,-1)]
+# (models.py:294-307; order verified by executing the meshgrid construction).
+_NEIGHBOR_OFFSETS = ((-1, -1), (-1, 0), (-1, 1), (0, -1))
+
+
+def inference_schedule(mode: str, gh: int, gw: int):
+    """Static scan schedule: groups of mutually independent cells.
+
+    Returns dict of numpy arrays (turned into scan xs):
+      cell_idx (S, K): flat raster index of each lane's cell (0 for masked),
+      cell_hw (S, K, 2), mask (S, K),
+      nbr_idx (S, K, 4): flat indices into the halo board,
+      write_idx (S, K): halo-board write position (trash slot for masked),
+      perm (N,): lane position (s*K + k) of each raster cell, for unpacking.
+    """
+    if mode == "raster":
+        fronts: List[List[Tuple[int, int]]] = [
+            [(h, w)] for h in range(gh) for w in range(gw)]
+    elif mode == "wavefront":
+        by_d: Dict[int, List[Tuple[int, int]]] = {}
+        for h in range(gh):
+            for w in range(gw):
+                by_d.setdefault(2 * h + w, []).append((h, w))
+        fronts = [by_d[d] for d in sorted(by_d)]
+    else:
+        raise ValueError(f"unknown scan mode {mode!r}")
+
+    s = len(fronts)
+    k = max(len(f) for f in fronts)
+    pw = gw + 2  # halo board width
+    board_size = (gh + 2) * pw
+    trash = board_size  # extra slot absorbing masked writes
+
+    cell_idx = np.zeros((s, k), np.int32)
+    cell_hw = np.zeros((s, k, 2), np.int32)
+    mask = np.zeros((s, k), bool)
+    nbr_idx = np.zeros((s, k, 4), np.int32)
+    write_idx = np.full((s, k), trash, np.int32)
+    perm = np.zeros(gh * gw, np.int32)
+
+    for si, front in enumerate(fronts):
+        for ki, (h, w) in enumerate(front):
+            cell_idx[si, ki] = h * gw + w
+            cell_hw[si, ki] = (h, w)
+            mask[si, ki] = True
+            write_idx[si, ki] = (h + 1) * pw + (w + 1)
+            for ni, (dh, dw) in enumerate(_NEIGHBOR_OFFSETS):
+                nbr_idx[si, ki, ni] = (h + 1 + dh) * pw + (w + 1 + dw)
+            perm[h * gw + w] = si * k + ki
+    return dict(cell_idx=cell_idx, cell_hw=cell_hw, mask=mask,
+                nbr_idx=nbr_idx, write_idx=write_idx, perm=perm,
+                board_size=board_size, steps=s, lanes=k)
+
+
+def _compute_dtype(cfg: SpairConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+
+def forward(params, cfg: SpairConfig, x, step, rng):
+    """Full inference + generation pass.
+
+    Args:
+      x: (B, C, H, W) images in [0, 1] (reference layout, train.py:58).
+      step: global step (traced scalar ok) driving the schedules.
+      rng: jax PRNG key for this step's stochastic draws.
+
+    Returns (loss, aux) where aux carries the reconstruction, latent grids
+    in the reference's NCHW layout, and every scalar the reference logs
+    (models.py:544-563).
+    """
+    geom = geometry(cfg)
+    pads, (gh, gw), _ = geom
+    n = gh * gw
+    b = x.shape[0]
+    dtype = _compute_dtype(cfg)
+    f32 = jnp.float32
+
+    feat = apply_backbone(params["backbone"], x, cfg.backbone_topology,
+                          pads, dtype)
+    feat_flat = feat.reshape(b, n, -1).astype(f32)
+
+    noise = sample_noise(rng, b, (gh, gw), cfg)
+    noise_flat = {name: v.reshape(b, n, v.shape[-1])
+                  for name, v in noise.items()}
+    tw = exponential_decay(step, cfg.training_wheel)
+
+    if cfg.inference_mode == "independent":
+        context = jnp.broadcast_to(
+            jnp.tile(params["edge"], len(_NEIGHBOR_OFFSETS)),
+            (b, n, cfg.context_dim))
+        hw = np.stack(np.unravel_index(np.arange(n), (gh, gw)),
+                      -1).astype(np.int32)
+        out = cell_step(params, cfg, geom, x, feat_flat, context, noise_flat,
+                        jnp.asarray(hw), tw, dtype)
+        flat = out
+    else:
+        flat = _scan_inference(params, cfg, geom, x, feat_flat, noise_flat,
+                               tw, dtype, b, gh, gw)
+
+    def grid(t):
+        return t.reshape(b, gh, gw, t.shape[-1])
+
+    z_where = grid(flat["z_where"])
+    z_attr = grid(flat["z_attr"])
+    z_depth = grid(flat["z_depth"])
+    z_pres = grid(flat["z_pres"])
+    z_pres_prob = grid(flat["z_pres_prob"])
+    posterior = jax.tree_util.tree_map(grid, flat["posterior"])
+
+    kls = independent_kl(posterior, z_pres, cfg)
+    kls["pres_dist"] = count_prior_kl(z_pres_prob, z_pres, step, cfg)
+
+    recon = render(params, cfg, z_attr, z_where, z_depth, z_pres,
+                   cfg.image_shape[1:], dtype).astype(f32)
+
+    loss, terms = loss_and_metrics(x, recon, kls, cfg)
+
+    def nchw(t):
+        return jnp.transpose(t, (0, 3, 1, 2))
+
+    aux = {
+        "recon": recon,
+        "z_where": nchw(z_where),
+        "z_pres": nchw(z_pres),
+        "z_depth": nchw(z_depth),
+        "z_attr": nchw(z_attr),
+        "z_pres_prob": nchw(z_pres_prob),
+        "training_wheel": tw,
+        "losses": terms,
+    }
+    return loss, aux
+
+
+def _scan_inference(params, cfg, geom, x, feat_flat, noise_flat, tw, dtype,
+                    b, gh, gw):
+    """Sequential lateral-context inference as a lax.scan over cell groups."""
+    sched = inference_schedule(cfg.inference_mode, gh, gw)
+    board0 = jnp.broadcast_to(params["edge"],
+                              (b, sched["board_size"] + 1,
+                               cfg.context_elem_dim))
+
+    xs = dict(cell_idx=jnp.asarray(sched["cell_idx"]),
+              cell_hw=jnp.asarray(sched["cell_hw"]),
+              nbr_idx=jnp.asarray(sched["nbr_idx"]),
+              write_idx=jnp.asarray(sched["write_idx"]))
+    k = sched["lanes"]
+
+    def body(board, step_xs):
+        idx = step_xs["cell_idx"]  # (K,)
+        feats = jnp.take(feat_flat, idx, axis=1)  # (B, K, F)
+        noise_k = {name: jnp.take(v, idx, axis=1)
+                   for name, v in noise_flat.items()}
+        ctx = jnp.take(board, step_xs["nbr_idx"].reshape(-1), axis=1)
+        ctx = ctx.reshape(b, k, cfg.context_dim)
+        out = cell_step(params, cfg, geom, x, feats, ctx, noise_k,
+                        step_xs["cell_hw"], tw, dtype)
+        board = board.at[:, step_xs["write_idx"]].set(out.pop("context_vec"))
+        return board, out
+
+    _, ys = jax.lax.scan(body, board0, xs)
+
+    perm = jnp.asarray(sched["perm"])
+
+    def unpack(t):  # (S, B, K, D) -> (B, N, D)
+        t = jnp.swapaxes(t, 0, 1).reshape(b, sched["steps"] * k, t.shape[-1])
+        return jnp.take(t, perm, axis=1)
+
+    return jax.tree_util.tree_map(unpack, ys)
+
+
+def loss_and_metrics(x, recon, kls: Dict, cfg: SpairConfig):
+    """Total loss (reference models.py:544-563): pixel-sum BCE + beta *
+    sum over latents of batch-mean KL sums. Returns (loss, term dict with
+    the reference's TensorBoard tag names)."""
+    recon_loss = binary_cross_entropy_sum(recon, x)
+    terms = {"losses/reconst": recon_loss}
+    kl_loss = 0.0
+    for name, z_kl in kls.items():
+        kl_mean = jnp.mean(jnp.sum(z_kl, axis=(1, 2, 3)))
+        kl_loss = kl_loss + kl_mean
+        terms[f"losses/KL{name}"] = kl_mean
+    loss = recon_loss + cfg.vae_beta * kl_loss
+    terms["losses/total"] = loss
+    return loss, terms

@@ -58,13 +58,40 @@ def bernoulli_kl(prob_q, prob_p):
             + (1.0 - prob_q) * (safe_log(1.0 - prob_q) - safe_log(1.0 - prob_p)))
 
 
+@jax.custom_vjp
 def binary_cross_entropy_sum(recon, target):
     """Sum-reduced BCE matching ``F.binary_cross_entropy(reduction='sum')``
     (reference models.py:547), including torch's clamp of each log term at
-    -100 which protects recon values of exactly 0 or 1."""
+    -100 which protects recon values of exactly 0 or 1.
+
+    A custom VJP reproduces torch's native backward
+    grad = (recon - target) / max(recon * (1 - recon), eps): the naive
+    max(log(r), -100) forward would emit 0 * inf = NaN gradients at r = 0,
+    which the renderer produces wherever no glimpse covers a pixel."""
+    return _bce_fwd_value(recon, target)
+
+
+def _bce_fwd_value(recon, target):
     log_r = jnp.maximum(jnp.log(recon), -100.0)
     log_1mr = jnp.maximum(jnp.log(1.0 - recon), -100.0)
     return -jnp.sum(target * log_r + (1.0 - target) * log_1mr)
+
+
+def _bce_fwd(recon, target):
+    return _bce_fwd_value(recon, target), (recon, target)
+
+
+def _bce_bwd(res, g):
+    recon, target = res
+    denom = jnp.maximum(recon * (1.0 - recon), 1e-12)  # torch's EPSILON
+    d_recon = g * (recon - target) / denom
+    log_r = jnp.maximum(jnp.log(recon), -100.0)
+    log_1mr = jnp.maximum(jnp.log(1.0 - recon), -100.0)
+    d_target = g * (log_1mr - log_r)
+    return d_recon, d_target
+
+
+binary_cross_entropy_sum.defvjp(_bce_fwd, _bce_bwd)
 
 
 def logistic_noise(key, shape, eps: float = 1e-9):

@@ -55,7 +55,12 @@ def apply_mlp(params, x, dtype=None):
 
     for layer in params["trunk"]:
         x = jax.nn.relu(dense(layer, x))
-    return tuple(dense(head, x) for head in params["heads"])
+    outs = tuple(dense(head, x) for head in params["heads"])
+    if dtype is not None:
+        # matmuls run in the compute dtype (bf16 on the MXU); head outputs
+        # are promoted back to f32 so downstream latent math stays precise.
+        outs = tuple(o.astype(jnp.float32) for o in outs)
+    return outs
 
 
 def apply_mlp1(params, x, dtype=None):

@@ -1,0 +1,11 @@
+from spair_pytorch_tpu.parallel.train_step import (  # noqa: F401
+    TrainState,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+)
+from spair_pytorch_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+)

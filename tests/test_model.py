@@ -1,0 +1,199 @@
+"""Model-level tests: shapes, inference-order equivalence, KL, e2e training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spair_pytorch_tpu.config import SpairConfig, small_config
+from spair_pytorch_tpu.models import (
+    forward,
+    init_params,
+    geometry,
+    inference_schedule,
+    count_prior_kl,
+)
+from spair_pytorch_tpu.parallel import create_train_state, make_train_step
+
+
+def tiny_config(**kw):
+    """Small enough to run scans fast on CPU."""
+    base = dict(image_shape=(1, 48, 48), batch_size=4,
+                object_shape=(14, 14), anchor_shape=(24, 24),
+                n_attributes=8, mlp_hidden=(32, 32), encoder_hidden=(32,),
+                decoder_hidden=(32,), n_backbone_features=16,
+                n_passthrough_features=16, render_chunk=8)
+    base.update(kw)
+    return SpairConfig(**base)
+
+
+class TestSchedules:
+    def test_wavefront_is_topological(self):
+        """Every cell's 4 lateral neighbors must be scheduled strictly
+        earlier (the reference dependency set, models.py:294-307)."""
+        sched = inference_schedule("wavefront", 11, 11)
+        order = {}
+        for s in range(sched["steps"]):
+            for k in range(sched["lanes"]):
+                if sched["mask"][s, k]:
+                    h, w = sched["cell_hw"][s, k]
+                    order[(h, w)] = s
+        for (h, w), s in order.items():
+            for dh, dw in [(-1, -1), (-1, 0), (-1, 1), (0, -1)]:
+                nb = (h + dh, w + dw)
+                if nb in order:
+                    assert order[nb] < s, f"{nb} not before {(h, w)}"
+
+    def test_raster_covers_all_cells(self):
+        sched = inference_schedule("raster", 4, 4)
+        assert sched["steps"] == 16 and sched["lanes"] == 1
+        assert sorted(sched["perm"].tolist()) == list(range(16))
+
+    def test_wavefront_step_count(self):
+        sched = inference_schedule("wavefront", 11, 11)
+        assert sched["steps"] == 2 * 10 + 10 + 1  # d in 0..30
+        assert sched["lanes"] == 6
+
+
+class TestForward:
+    @pytest.mark.parametrize("mode", ["independent", "raster", "wavefront"])
+    def test_shapes_and_finiteness(self, mode):
+        cfg = tiny_config(inference_mode=mode)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
+        loss, aux = forward(params, cfg, x, 0, jax.random.PRNGKey(2))
+        _, (gh, gw), _ = geometry(cfg)
+        assert aux["recon"].shape == (2, 1, 48, 48)
+        assert aux["z_where"].shape == (2, 4, gh, gw)
+        assert aux["z_pres"].shape == (2, 1, gh, gw)
+        assert np.isfinite(float(loss))
+        assert float(jnp.min(aux["recon"])) >= 0.0
+        assert float(jnp.max(aux["recon"])) <= 1.0
+
+    def test_raster_equals_wavefront(self):
+        """Same params, same noise: identical latents and loss — the
+        wavefront is just a different topological order of the same DAG."""
+        cfg_r = tiny_config(inference_mode="raster")
+        cfg_w = tiny_config(inference_mode="wavefront")
+        params = init_params(jax.random.PRNGKey(0), cfg_r)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
+        rng = jax.random.PRNGKey(2)
+        loss_r, aux_r = forward(params, cfg_r, x, 500, rng)
+        loss_w, aux_w = forward(params, cfg_w, x, 500, rng)
+        np.testing.assert_allclose(np.asarray(aux_r["z_where"]),
+                                   np.asarray(aux_w["z_where"]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(aux_r["z_pres"]),
+                                   np.asarray(aux_w["z_pres"]),
+                                   rtol=1e-5, atol=1e-6)
+        assert np.isclose(float(loss_r), float(loss_w), rtol=1e-4)
+
+    def test_lateral_context_flows(self):
+        """In sequential modes, a cell's latents must depend on its
+        neighbors' latents: perturbing the edge element changes outputs."""
+        cfg = tiny_config(inference_mode="raster")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 48, 48))
+        _, aux1 = forward(params, cfg, x, 0, jax.random.PRNGKey(2))
+        params2 = dict(params)
+        params2["edge"] = params["edge"] + 1.0
+        _, aux2 = forward(params2, cfg, x, 0, jax.random.PRNGKey(2))
+        assert not np.allclose(np.asarray(aux1["z_pres"]),
+                               np.asarray(aux2["z_pres"]))
+
+    def test_training_wheel_blocks_gradients(self):
+        """Before step 1000, box/depth/pres heads receive zero gradient
+        (reference models.py:413-429, config.py:58-62)."""
+        cfg = tiny_config(inference_mode="independent")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
+
+        def loss_at(step):
+            def f(p):
+                return forward(p, cfg, x, step, jax.random.PRNGKey(2))[0]
+            return jax.grad(f)(params)
+
+        g_early = loss_at(0)
+        g_late = loss_at(2000)
+        box_early = np.abs(np.asarray(g_early["box_net"]["heads"][0]["w"]))
+        box_late = np.abs(np.asarray(g_late["box_net"]["heads"][0]["w"]))
+        assert box_early.max() == 0.0
+        assert box_late.max() > 0.0
+        obj_early = np.abs(np.asarray(g_early["obj_net"]["heads"][0]["w"]))
+        assert obj_early.max() == 0.0
+        # encoder (z_what path) is never frozen
+        enc = np.abs(np.asarray(g_early["object_encoder"]["heads"][0]["w"]))
+        assert enc.max() > 0.0
+
+
+class TestCountPriorKL:
+    def test_against_naive_numpy(self):
+        """Cross-check the scan against a direct numpy transcription of the
+        reference loop (models.py:179-257) on a tiny 2x2 grid."""
+        rng = np.random.RandomState(0)
+        b, gh, gw = 3, 2, 2
+        hw = gh * gw
+        prob = rng.uniform(0.05, 0.95, (b, gh, gw, 1)).astype("f")
+        pres = prob.copy()
+        step = 3000
+        cfg = tiny_config()
+
+        ours = np.asarray(count_prior_kl(jnp.array(prob), jnp.array(pres),
+                                         step, cfg))
+
+        # naive reference math
+        sched = cfg.count_prior
+        t = step / sched.decay_step
+        log_odds = np.log((sched.start - sched.end) * sched.decay_rate ** t
+                          + sched.end + 1e-6)
+        p = 1 / (np.exp(-log_odds) + 1)
+        support = np.arange(hw + 1, dtype="f")
+        cd = (1 - p) * p ** support
+        cd = cd / cd.sum()
+        cd = np.tile(cd, (b, 1))
+        count_so_far = np.zeros((b, 1), "f")
+        expect = np.zeros((b, gh, gw, 1), "f")
+        i = 0
+        for h in range(gh):
+            for w in range(gw):
+                p_z_given = np.clip(support - count_so_far, 0, hw - i) / (hw - i)
+                p_z = (cd * p_z_given).sum(-1, keepdims=True)
+                q = prob[:, h, w]
+                kl = (q * (np.log(q + 1e-9) - np.log(p_z + 1e-9))
+                      + (1 - q) * (np.log(1 - q + 1e-9)
+                                   - np.log(1 - p_z + 1e-9)))
+                expect[:, h, w] = kl
+                sample = np.round(pres[:, h, w])
+                mult = sample * p_z_given + (1 - sample) * (1 - p_z_given)
+                cd = mult * cd
+                cd = cd / np.clip(cd.sum(-1, keepdims=True), 1e-6, None)
+                count_so_far += sample
+                i += 1
+        np.testing.assert_allclose(ours, expect, rtol=1e-4, atol=1e-6)
+
+
+class TestTraining:
+    def test_loss_decreases_e2e(self):
+        """BASELINE config-1 style sanity: a few Adam steps on a fixed batch
+        must reduce the loss (SURVEY.md section 4 rebuild-test (f))."""
+        cfg = tiny_config(inference_mode="independent", learning_rate=1e-3)
+        state = create_train_state(cfg)
+        step = make_train_step(cfg, donate=False)
+        x = (jax.random.uniform(jax.random.PRNGKey(5), (4, 1, 48, 48))
+             > 0.8).astype(jnp.float32)
+        first = None
+        for _ in range(8):
+            state, metrics = step(state, x)
+            if first is None:
+                first = float(metrics["losses/total"])
+        last = float(metrics["losses/total"])
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < first
+
+    def test_train_step_wavefront_runs(self):
+        cfg = tiny_config(inference_mode="wavefront")
+        state = create_train_state(cfg)
+        step = make_train_step(cfg, donate=False)
+        x = jax.random.uniform(jax.random.PRNGKey(5), (2, 1, 48, 48))
+        state, metrics = step(state, x)
+        assert np.isfinite(float(metrics["losses/total"]))
