@@ -1,0 +1,87 @@
+"""Headline benchmark: training images/sec/chip at 128x128 scattered-MNIST.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The reference publishes no numbers (SURVEY.md section 6); the baseline
+denominator is the measured throughput of the UNMODIFIED reference PyTorch
+implementation on this host (benchmarks/reference_probe.py; recorded in
+BASELINE.md). Paper config: batch 32 per chip, 128x128 images, full training
+step (forward + backward + Adam) with on-device data generation, sequential
+lateral-context inference via the wavefront scan — the reference's
+semantics, not the easier independent mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+# Measured by benchmarks/reference_probe.py (torch-CPU, batch 32, paper
+# config, 2026-08-16): 0.445 images/sec. See BASELINE.md for the record.
+REFERENCE_BASELINE_IPS = 0.445
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--mode", default="wavefront",
+                   choices=["independent", "raster", "wavefront"])
+    p.add_argument("--render", default=None,
+                   choices=[None, "xla", "pallas"])
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--baseline-ips", type=float,
+                   default=REFERENCE_BASELINE_IPS)
+    args = p.parse_args()
+
+    import jax
+
+    from spair_pytorch_tpu.config import paper_config
+    from spair_pytorch_tpu.data import DataConfig, generate_batch, glyph_bank
+    from spair_pytorch_tpu.parallel import create_train_state, make_train_step
+
+    overrides = dict(batch_size=args.batch, inference_mode=args.mode,
+                     compute_dtype=args.compute_dtype)
+    if args.render:
+        overrides["render_backend"] = args.render
+    cfg = paper_config(**overrides)
+
+    state = create_train_state(cfg)
+    step_fn = make_train_step(cfg)
+
+    import jax.numpy as jnp
+    bank = jnp.asarray(glyph_bank((14, 14)))
+    dcfg = DataConfig(image_hw=cfg.image_shape[1:], max_objects=6)
+    key = jax.random.PRNGKey(0)
+
+    def batch(i):
+        return generate_batch(jax.random.fold_in(key, i), bank,
+                              cfg.batch_size, dcfg)[0]
+
+    for i in range(args.warmup):
+        state, metrics = step_fn(state, batch(i))
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step_fn(state, batch(args.warmup + i))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    ips_per_chip = args.batch * args.steps / dt / n_chips
+    print(json.dumps({
+        "metric": "train images/sec/chip, 128x128 scattered-MNIST, "
+                  f"batch {args.batch}, {args.mode} inference",
+        "value": round(ips_per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips_per_chip / args.baseline_ips, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Training driver + CLI.
+
+TPU-native counterpart of reference ``train.py:19-105``: run-dir layout,
+Adam(1e-4), per-step scalar logging with the reference's tag names, bbox-AP
+and count metrics every 5 steps after step 1000, checkpoints every 1000
+steps — but as jitted steps over an optional device mesh, with on-device
+data generation, real resume (the reference has none), and no per-step
+host/device image churn unless asked for.
+
+Usage:
+    python -m spair_pytorch_tpu.train --preset paper128 --steps 2000
+    python -m spair_pytorch_tpu.train --preset tpu_throughput --mesh data
+    python -m spair_pytorch_tpu.train --hdf5 path/to/scattered_mnist.hdf5
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from spair_pytorch_tpu import metrics as metric
+from spair_pytorch_tpu.config import PRESETS, SpairConfig
+from spair_pytorch_tpu.data import (DataConfig, OnDeviceScatteredDigits,
+                                    ScatteredMNISTFile)
+from spair_pytorch_tpu.models import forward, geometry
+from spair_pytorch_tpu.parallel import (create_train_state, make_mesh,
+                                        make_train_step, shard_batch,
+                                        replicate)
+from spair_pytorch_tpu.utils.logging import MetricWriter
+
+
+def make_data(cfg: SpairConfig, hdf5: Optional[str] = None,
+              max_objects: int = 6, seed: int = 0):
+    if hdf5:
+        file = ScatteredMNISTFile(hdf5)
+
+        def epochs():
+            while True:
+                yield from file.batches(cfg.batch_size)
+        return epochs()
+    _, ih, iw = cfg.image_shape
+    patch = (14, 14) if ih >= 64 else (10, 10)
+    dcfg = DataConfig(image_hw=(ih, iw), patch_hw=patch,
+                      max_objects=max_objects, channels=cfg.n_channels)
+    return OnDeviceScatteredDigits(dcfg, cfg.batch_size, seed=seed)
+
+
+def train(cfg: SpairConfig,
+          steps: int = 10000,
+          logdir: Optional[str] = None,
+          hdf5: Optional[str] = None,
+          use_mesh: bool = False,
+          checkpoint_every: int = 1000,
+          metrics_every: int = 5,
+          log_images_every: int = 0,
+          resume: bool = True,
+          verbose: bool = True):
+    if logdir is None:
+        # run-dir naming in the spirit of reference train.py:19-20
+        stamp = datetime.datetime.now().strftime("%b-%d-%H%M%S")
+        logdir = os.path.join("logs_v2", stamp)
+    writer = MetricWriter(logdir)
+
+    mesh = make_mesh() if use_mesh else None
+    state = create_train_state(cfg)
+
+    ckpt = None
+    if checkpoint_every:
+        from spair_pytorch_tpu.utils.checkpoint import CheckpointManager
+        ckpt = CheckpointManager(os.path.join(logdir, "checkpoints"))
+        restored = ckpt.restore(state) if resume else None
+        if restored is not None:
+            state = restored
+            if verbose:
+                print(f"resumed from step {int(state.step)}")
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    step_fn = make_train_step(cfg, mesh)
+    eval_metrics = jax.jit(_detection_metrics, static_argnums=(0,))
+    eval_forward = jax.jit(
+        lambda p, xx, s, r: forward(p, cfg, xx, s, r)[1]["recon"])
+
+    data = make_data(cfg, hdf5)
+    data = iter(data)
+    t_last = time.perf_counter()
+    images_done = 0
+    it = int(state.step)  # host-side mirror; avoids a device sync per step
+    for _ in range(steps):
+        x, gt_bbox, gt_count = next(data)
+        if mesh is not None:
+            x = shard_batch(mesh, x)
+        state, scalars = step_fn(state, x)
+
+        writer.scalars(it, scalars)
+
+        # detection metrics cadence: reference train.py:76-82
+        if metrics_every and it > 1000 and it % metrics_every == 0:
+            ap, cerr, cacc = eval_metrics(cfg, state.params, x,
+                                          state.step, state.rng,
+                                          gt_bbox, gt_count)
+            writer.scalars(it, {
+                "accuracy/bbox_average_precision": ap,
+                "accuracy/object_count_accuracy": cerr,
+                "accuracy/count_exact": cacc,
+            })
+
+        if log_images_every and it % log_images_every == 0:
+            recon = eval_forward(state.params, x, state.step, state.rng)
+            writer.image_pair(it, "SPAIR input_output",
+                              np.asarray(x[0]), np.asarray(recon[0]))
+
+        if ckpt and it >= 1000 and it % checkpoint_every == 0:
+            ckpt.save(state)
+
+        images_done += cfg.batch_size
+        it += 1
+        if verbose and it % 50 == 0:
+            dt = time.perf_counter() - t_last
+            ips = images_done / dt if dt > 0 else 0.0
+            print(f"step {it}: loss {float(scalars['losses/total']):.2f} "
+                  f"({ips:.1f} img/s)")
+            t_last, images_done = time.perf_counter(), 0
+    if ckpt:
+        ckpt.save(state)
+        ckpt.wait()
+    writer.close()
+    return state
+
+
+def _detection_metrics(cfg, params, x, step, rng, gt_bbox, gt_count):
+    _, aux = forward(params, cfg, x, step, rng)
+    img_size = cfg.image_shape[-1]
+    ap = metric.mAP(aux["z_where"], aux["z_pres"], gt_bbox, gt_count,
+                    img_size)
+    cerr = metric.object_count_error(aux["z_pres"], gt_count)
+    cacc = metric.count_accuracy(aux["z_pres"], gt_count)
+    return ap, cerr, cacc
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="paper128", choices=sorted(PRESETS))
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--logdir", default=None)
+    p.add_argument("--hdf5", default=None,
+                   help="reference-schema scattered-MNIST file")
+    p.add_argument("--mesh", action="store_true",
+                   help="data-parallel over all visible devices")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--mode", default=None,
+                   choices=["independent", "raster", "wavefront"])
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args(argv)
+
+    overrides = {}
+    if args.batch:
+        overrides["batch_size"] = args.batch
+    if args.mode:
+        overrides["inference_mode"] = args.mode
+    cfg = PRESETS[args.preset](**overrides)
+    train(cfg, steps=args.steps, logdir=args.logdir, hdf5=args.hdf5,
+          use_mesh=args.mesh, resume=not args.no_resume)
+
+
+if __name__ == "__main__":
+    main()
