@@ -77,8 +77,14 @@ def composite_xla(color, alpha, importance, z_where, image_hw, chunk: int):
     if pad:
         def padn(t):
             return jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
-        color, alpha, importance, z_where = map(
-            padn, (color, alpha, importance, z_where))
+        color, alpha, importance = map(padn, (color, alpha, importance))
+        # pad boxes with a SAFE unit box, not zeros: a zero-scale box makes
+        # the inverse-paste coordinate (u - t)/s hit 0/0 = NaN at canvas
+        # pixel 0. The padded objects' glimpse channels are all zero, so
+        # they contribute nothing either way.
+        safe = jnp.broadcast_to(jnp.array([0.5, 0.5, 1.0, 1.0]),
+                                (b, pad, 4)).astype(z_where.dtype)
+        z_where = jnp.concatenate([z_where, safe], axis=1)
         n = n + pad
     steps = n // chunk
 

@@ -105,13 +105,15 @@ def _compute_dtype(cfg: SpairConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
 
-def forward(params, cfg: SpairConfig, x, step, rng):
+def forward(params, cfg: SpairConfig, x, step, rng, noise=None):
     """Full inference + generation pass.
 
     Args:
       x: (B, C, H, W) images in [0, 1] (reference layout, train.py:58).
       step: global step (traced scalar ok) driving the schedules.
       rng: jax PRNG key for this step's stochastic draws.
+      noise: optional pre-sampled noise pytree (see sample_noise) overriding
+        the rng draws — used for fidelity testing and deterministic eval.
 
     Returns (loss, aux) where aux carries the reconstruction, latent grids
     in the reference's NCHW layout, and every scalar the reference logs
@@ -128,7 +130,8 @@ def forward(params, cfg: SpairConfig, x, step, rng):
                           pads, dtype)
     feat_flat = feat.reshape(b, n, -1).astype(f32)
 
-    noise = sample_noise(rng, b, (gh, gw), cfg)
+    if noise is None:
+        noise = sample_noise(rng, b, (gh, gw), cfg)
     noise_flat = {name: v.reshape(b, n, v.shape[-1])
                   for name, v in noise.items()}
     tw = exponential_decay(step, cfg.training_wheel)
