@@ -59,6 +59,7 @@ def train(cfg: SpairConfig,
           checkpoint_every: int = 1000,
           metrics_every: int = 5,
           log_images_every: int = 0,
+          log_flush_every: int = 25,
           resume: bool = True,
           verbose: bool = True):
     if logdir is None:
@@ -91,6 +92,8 @@ def train(cfg: SpairConfig,
     data = iter(data)
     t_last = time.perf_counter()
     images_done = 0
+    pending = []  # buffered (step, device-scalars) awaiting one batched D2H
+    last_loss = float("nan")
     it = int(state.step)  # host-side mirror; avoids a device sync per step
     for _ in range(steps):
         x, gt_bbox, gt_count = next(data)
@@ -98,13 +101,24 @@ def train(cfg: SpairConfig,
             x = shard_batch(mesh, x)
         state, scalars = step_fn(state, x)
 
-        writer.scalars(it, scalars)
+        # Buffer per-step scalars ON DEVICE and flush in batches: a D2H
+        # transfer over the tunneled TPU link costs ~40 ms regardless of
+        # size, so per-step float()s would cap the loop at ~25 steps/s.
+        # Every step is still logged (reference cadence, models.py:544-560)
+        # — just transferred log_flush_every steps at a time.
+        pending.append((it, scalars))
+        if len(pending) >= max(1, log_flush_every):
+            host = jax.device_get(pending)
+            for pit, pvals in host:
+                writer.scalars(pit, pvals)
+            last_loss = float(host[-1][1]["losses/total"])
+            pending.clear()
 
         # detection metrics cadence: reference train.py:76-82
         if metrics_every and it > 1000 and it % metrics_every == 0:
-            ap, cerr, cacc = eval_metrics(cfg, state.params, x,
-                                          state.step, state.rng,
-                                          gt_bbox, gt_count)
+            ap, cerr, cacc = jax.device_get(eval_metrics(
+                cfg, state.params, x, state.step, state.rng,
+                gt_bbox, gt_count))
             writer.scalars(it, {
                 "accuracy/bbox_average_precision": ap,
                 "accuracy/object_count_accuracy": cerr,
@@ -124,9 +138,10 @@ def train(cfg: SpairConfig,
         if verbose and it % 50 == 0:
             dt = time.perf_counter() - t_last
             ips = images_done / dt if dt > 0 else 0.0
-            print(f"step {it}: loss {float(scalars['losses/total']):.2f} "
-                  f"({ips:.1f} img/s)")
+            print(f"step {it}: loss {last_loss:.2f} ({ips:.1f} img/s)")
             t_last, images_done = time.perf_counter(), 0
+    for pit, pvals in jax.device_get(pending):
+        writer.scalars(pit, pvals)
     if ckpt:
         ckpt.save(state)
         ckpt.wait()

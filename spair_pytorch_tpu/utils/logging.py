@@ -44,6 +44,11 @@ class MetricWriter:
         self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
 
     def scalars(self, step: int, values: Dict[str, float]):
+        # ONE batched device->host transfer for the whole dict: per-scalar
+        # float() conversions are separate roundtrips, which over a tunneled
+        # TPU link cost seconds each (measured: 8.5 s/scalar vs 39 ms total).
+        import jax
+        values = jax.device_get(values)
         rec = {"step": int(step), "time": time.time()}
         for tag, v in values.items():
             v = float(np.asarray(v))
