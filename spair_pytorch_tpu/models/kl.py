@@ -64,7 +64,13 @@ def count_prior_kl(z_pres_prob, z_pres, step, cfg: SpairConfig):
         remaining = hw - i
         p_z_given_c = jnp.clip(support[None, :] - count_so_far,
                                0.0, remaining) / remaining
-        p_z = jnp.sum(count_dist * p_z_given_c, axis=-1)  # (B,)
+        # p_z <= 1 in exact arithmetic (convex combination), but float
+        # summation can overshoot by ~1e-7 when the count distribution
+        # concentrates at high counts — then safe_log(1 - p_z) sees a
+        # negative argument and the whole loss NaNs (observed at ~step 1700
+        # of a real run; the reference has the same latent hazard, which its
+        # nan_hunter would merely report). Clipping is value-identical.
+        p_z = jnp.clip(jnp.sum(count_dist * p_z_given_c, axis=-1), 0.0, 1.0)
         kl = bernoulli_kl(prob, p_z)
         mult = (sample[:, None] * p_z_given_c
                 + (1.0 - sample[:, None]) * (1.0 - p_z_given_c))

@@ -127,6 +127,18 @@ class TestForward:
 
 
 class TestCountPriorKL:
+    def test_saturated_presence_stays_finite(self):
+        """Regression: with every cell confidently present on a full 11x11
+        grid, the count distribution concentrates at high counts and float
+        rounding can push p_z just above 1 — safe_log(1 - p_z) then NaNs.
+        Observed live at step ~1700 of a TPU run."""
+        b, gh, gw = 2, 11, 11
+        prob = jnp.full((b, gh, gw, 1), 0.999)
+        cfg = tiny_config()
+        for step in [0, 1700, 5000, 50000]:
+            kl = count_prior_kl(prob, prob, step, cfg)
+            assert bool(jnp.isfinite(kl).all()), f"NaN at step {step}"
+
     def test_against_naive_numpy(self):
         """Cross-check the scan against a direct numpy transcription of the
         reference loop (models.py:179-257) on a tiny 2x2 grid."""
