@@ -59,6 +59,7 @@ def train(cfg: SpairConfig,
           checkpoint_every: int = 1000,
           metrics_every: int = 5,
           log_images_every: int = 0,
+          log_figures_every: int = 0,
           log_flush_every: int = 25,
           resume: bool = True,
           verbose: bool = True):
@@ -86,7 +87,7 @@ def train(cfg: SpairConfig,
     step_fn = make_train_step(cfg, mesh)
     eval_metrics = jax.jit(_detection_metrics, static_argnums=(0,))
     eval_forward = jax.jit(
-        lambda p, xx, s, r: forward(p, cfg, xx, s, r)[1]["recon"])
+        lambda p, xx, s, r: forward(p, cfg, xx, s, r)[1])
 
     data = make_data(cfg, hdf5)
     data = iter(data)
@@ -126,9 +127,21 @@ def train(cfg: SpairConfig,
             })
 
         if log_images_every and it % log_images_every == 0:
-            recon = eval_forward(state.params, x, state.step, state.rng)
+            aux = eval_forward(state.params, x, state.step, state.rng)
             writer.image_pair(it, "SPAIR input_output",
-                              np.asarray(x[0]), np.asarray(recon[0]))
+                              np.asarray(x[0]), np.asarray(aux["recon"][0]))
+
+        # renderer-analysis panel cadence: reference debug_tools plots every
+        # 50 steps (debug_tools.py:56)
+        if log_figures_every and it % log_figures_every == 0:
+            from spair_pytorch_tpu.utils.viz import render_analysis_figure
+            aux = eval_forward(state.params, x, state.step, state.rng)
+            aux = jax.device_get({k: aux[k] for k in
+                                  ("recon", "z_where", "z_pres", "z_depth")})
+            fig = render_analysis_figure(np.asarray(x), aux["recon"],
+                                         aux["z_where"], aux["z_pres"],
+                                         aux["z_depth"])
+            writer.figure(it, "analysis/renderer", fig)
 
         if ckpt and it >= 1000 and it % checkpoint_every == 0:
             ckpt.save(state)

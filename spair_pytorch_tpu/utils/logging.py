@@ -66,6 +66,16 @@ class MetricWriter:
             [np.asarray(image_in), np.asarray(image_out)], axis=-1)
         self._tb.add_image(tag, np.clip(combined, 0.0, 1.0), step)
 
+    def figure(self, step: int, tag: str, fig):
+        """Write a matplotlib figure (reference debug_tools.py:104)."""
+        if self._tb is not None:
+            self._tb.add_figure(tag, fig, step)
+        else:
+            import os
+            d = os.path.join(self.logdir, "figures")
+            os.makedirs(d, exist_ok=True)
+            fig.savefig(os.path.join(d, f"{tag.replace('/', '_')}_{step}.png"))
+
     def close(self):
         if self._tb is not None:
             self._tb.close()
