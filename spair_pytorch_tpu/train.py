@@ -36,7 +36,7 @@ from spair_pytorch_tpu.utils.logging import MetricWriter
 
 
 def make_data(cfg: SpairConfig, hdf5: Optional[str] = None,
-              max_objects: int = 6, seed: int = 0):
+              max_objects: int = 6, seed: int = 0, source: str = "device"):
     if hdf5:
         file = ScatteredMNISTFile(hdf5)
 
@@ -48,6 +48,9 @@ def make_data(cfg: SpairConfig, hdf5: Optional[str] = None,
     patch = (14, 14) if ih >= 64 else (10, 10)
     dcfg = DataConfig(image_hw=(ih, iw), patch_hw=patch,
                       max_objects=max_objects, channels=cfg.n_channels)
+    if source == "native":
+        from spair_pytorch_tpu.data.native import NativeScatteredDigits
+        return NativeScatteredDigits(dcfg, cfg.batch_size, seed=seed)
     return OnDeviceScatteredDigits(dcfg, cfg.batch_size, seed=seed)
 
 
@@ -55,6 +58,7 @@ def train(cfg: SpairConfig,
           steps: int = 10000,
           logdir: Optional[str] = None,
           hdf5: Optional[str] = None,
+          data_source: str = "device",
           use_mesh: bool = False,
           checkpoint_every: int = 1000,
           metrics_every: int = 5,
@@ -89,7 +93,7 @@ def train(cfg: SpairConfig,
     eval_forward = jax.jit(
         lambda p, xx, s, r: forward(p, cfg, xx, s, r)[1])
 
-    data = make_data(cfg, hdf5)
+    data = make_data(cfg, hdf5, source=data_source)
     data = iter(data)
     t_last = time.perf_counter()
     images_done = 0
@@ -181,6 +185,8 @@ def main(argv=None):
                    help="reference-schema scattered-MNIST file")
     p.add_argument("--mesh", action="store_true",
                    help="data-parallel over all visible devices")
+    p.add_argument("--data", default="device", choices=["device", "native"],
+                   help="on-device jitted generator or native C++ pipeline")
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--mode", default=None,
                    choices=["independent", "raster", "wavefront"])
@@ -194,7 +200,8 @@ def main(argv=None):
         overrides["inference_mode"] = args.mode
     cfg = PRESETS[args.preset](**overrides)
     train(cfg, steps=args.steps, logdir=args.logdir, hdf5=args.hdf5,
-          use_mesh=args.mesh, resume=not args.no_resume)
+          data_source=args.data, use_mesh=args.mesh,
+          resume=not args.no_resume)
 
 
 if __name__ == "__main__":
