@@ -1,0 +1,100 @@
+"""Evaluation CLI: restore a checkpoint, measure detection metrics.
+
+The reference has no standalone evaluation path (metrics are computed
+inline on training batches, reference train.py:76-82). This evaluates a
+trained checkpoint on freshly generated scenes: reference-compatible AP and
+signed count error, plus the corrected center-based AP and exact count
+accuracy, averaged over --batches batches; optionally writes a renderer
+analysis figure.
+
+Usage:
+    python -m spair_pytorch_tpu.eval --logdir runs/paper128_50k \
+        --preset paper128 --batches 16 --figure out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import numpy as np
+
+from spair_pytorch_tpu import metrics as metric
+from spair_pytorch_tpu.config import PRESETS
+from spair_pytorch_tpu.models import forward
+from spair_pytorch_tpu.parallel import create_train_state
+from spair_pytorch_tpu.train import make_data
+
+
+def evaluate(cfg, state, batches: int = 16, data=None, seed: int = 1234):
+    data = iter(data if data is not None else
+                make_data(cfg, seed=seed))
+    img_size = cfg.image_shape[-1]
+
+    @jax.jit
+    def run(params, x, step, rng, gt_bbox, gt_count):
+        _, aux = forward(params, cfg, x, step, rng)
+        return {
+            "bbox_average_precision": metric.mAP(
+                aux["z_where"], aux["z_pres"], gt_bbox, gt_count, img_size),
+            "bbox_ap_center": metric.mAP_center(
+                aux["z_where"], aux["z_pres"], gt_bbox, gt_count, img_size),
+            "object_count_error": metric.object_count_error(
+                aux["z_pres"], gt_count),
+            "count_exact_accuracy": metric.count_accuracy(
+                aux["z_pres"], gt_count),
+        }, aux
+
+    rng = jax.random.PRNGKey(seed)
+    sums, aux_last, x_last = None, None, None
+    for i in range(batches):
+        x, gt_bbox, gt_count = next(data)
+        m, aux_last = run(state.params, x, state.step,
+                          jax.random.fold_in(rng, i), gt_bbox, gt_count)
+        m = jax.device_get(m)
+        x_last = x
+        sums = m if sums is None else {k: sums[k] + m[k] for k in m}
+    result = {k: float(v) / batches for k, v in sums.items()}
+    result["step"] = int(state.step)
+    return result, aux_last, x_last
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--logdir", required=True)
+    p.add_argument("--preset", default="paper128", choices=sorted(PRESETS))
+    p.add_argument("--batches", type=int, default=16)
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step (default: latest)")
+    p.add_argument("--figure", default=None,
+                   help="write a renderer-analysis PNG here")
+    args = p.parse_args(argv)
+
+    import os
+
+    from spair_pytorch_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = PRESETS[args.preset]()
+    state = create_train_state(cfg)
+    mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"))
+    restored = mgr.restore(state, step=args.step)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {args.logdir}")
+    state = restored
+
+    result, aux, x = evaluate(cfg, state, batches=args.batches)
+    print(json.dumps(result, indent=2))
+
+    if args.figure:
+        from spair_pytorch_tpu.utils.viz import render_analysis_figure
+        aux = jax.device_get(aux)
+        fig = render_analysis_figure(np.asarray(x), aux["recon"],
+                                     aux["z_where"], aux["z_pres"],
+                                     aux["z_depth"])
+        fig.savefig(args.figure, dpi=120)
+        print(f"wrote {args.figure}")
+
+
+if __name__ == "__main__":
+    main()
