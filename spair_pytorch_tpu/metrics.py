@@ -89,7 +89,16 @@ def mAP_center(z_where, z_pres, gt_bbox, gt_count, image_size: int,
     pred = pred * (pres >= pres_threshold)[..., None]
     gt = jnp.concatenate([gt_bbox[..., :2], gt_bbox[..., :2] + gt_bbox[..., 2:]],
                          axis=-1)
-    best = jnp.max(batch_jaccard(pred, gt), axis=1)
+    # safe IoU: masked-out predictions and padded GT slots are zero-area
+    # boxes, whose pairwise union is 0 — guard the division (the
+    # reference-compatible mAP above keeps the unguarded math).
+    inter = intersect(pred, gt)
+    area_a = ((pred[..., 2] - pred[..., 0])
+              * (pred[..., 3] - pred[..., 1]))[:, :, None]
+    area_b = ((gt[..., 2] - gt[..., 0])
+              * (gt[..., 3] - gt[..., 1]))[:, None, :]
+    iou = inter / jnp.maximum(area_a + area_b - inter, 1e-9)
+    best = jnp.max(iou, axis=1)
     return _soft_ap(best, gt_count)
 
 
