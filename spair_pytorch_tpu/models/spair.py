@@ -137,6 +137,10 @@ def forward(params, cfg: SpairConfig, x, step, rng, noise=None):
     tw = exponential_decay(step, cfg.training_wheel)
 
     if cfg.inference_mode == "independent":
+        # cell axis is shardable here: under a ('data', 'model') mesh the
+        # heads/crop/decode split over chips along N (parallel/constraints).
+        from spair_pytorch_tpu.parallel.constraints import constrain
+        feat_flat = constrain(feat_flat, "data", "model", None)
         context = jnp.broadcast_to(
             jnp.tile(params["edge"], len(_NEIGHBOR_OFFSETS)),
             (b, n, cfg.context_dim))
@@ -144,6 +148,7 @@ def forward(params, cfg: SpairConfig, x, step, rng, noise=None):
                       -1).astype(np.int32)
         out = cell_step(params, cfg, geom, x, feat_flat, context, noise_flat,
                         jnp.asarray(hw), tw, dtype)
+        out["z_attr"] = constrain(out["z_attr"], "data", "model", None)
         flat = out
     else:
         flat = _scan_inference(params, cfg, geom, x, feat_flat, noise_flat,

@@ -9,3 +9,8 @@ from spair_pytorch_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     replicate,
 )
+from spair_pytorch_tpu.parallel.constraints import (  # noqa: F401
+    set_constraint_mesh,
+    model_axis_active,
+    constrain,
+)

@@ -69,6 +69,9 @@ def make_train_step(cfg: SpairConfig, mesh: Optional[Mesh] = None,
         metrics["training_wheel"] = aux["training_wheel"]
         return new_state, metrics
 
+    from spair_pytorch_tpu.parallel.constraints import set_constraint_mesh
+    set_constraint_mesh(mesh)
+
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 

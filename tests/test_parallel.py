@@ -50,6 +50,28 @@ class TestDataParallel:
         mesh = make_mesh(n_data=4, n_model=2, devices=eight_devices)
         assert mesh.shape == {"data": 4, "model": 2}
 
+    def test_model_axis_sharding_matches_single_device(self, eight_devices):
+        """(data=4, model=2) mesh with the cell axis sharded over 'model'
+        must reproduce the single-device loss."""
+        from spair_pytorch_tpu.parallel import set_constraint_mesh
+        cfg = tiny_config(inference_mode="independent", batch_size=8)
+        state_sd = create_train_state(cfg)
+        state_2d = jax.tree_util.tree_map(lambda t: t.copy(), state_sd)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (8, 1, 48, 48))
+
+        step_sd = make_train_step(cfg, donate=False)
+        _, m_sd = step_sd(state_sd, x)
+
+        mesh = make_mesh(n_data=4, n_model=2, devices=eight_devices)
+        try:
+            step_2d = make_train_step(cfg, mesh, donate=False)
+            _, m_2d = step_2d(replicate(mesh, state_2d),
+                              shard_batch(mesh, x))
+        finally:
+            set_constraint_mesh(None)
+        assert np.isclose(float(m_sd["losses/total"]),
+                          float(m_2d["losses/total"]), rtol=1e-4)
+
 
 class TestGraftEntry:
     def test_entry_compiles(self):
