@@ -129,6 +129,12 @@ class SpairConfig:
     # parameter-count parity. Off by default: no gradient path exists.
     vestigial_self_attn: bool = False
 
+    # --- data/scene ---
+    # object count range per generated scene (bbox slots); the cluttered
+    # preset (BASELINE config 4) uses 9..12
+    min_scene_objects: int = 1
+    max_scene_objects: int = 6
+
     # --- training ---
     learning_rate: float = 1e-4
     seed: int = 3  # reference train.py:39
@@ -178,7 +184,8 @@ def sequential_config(**overrides) -> SpairConfig:
 
 def cluttered_config(**overrides) -> SpairConfig:
     """BASELINE config 4: cluttered scenes (9+ digits), depth compositing."""
-    kw = dict(inference_mode="wavefront")
+    kw = dict(inference_mode="wavefront", min_scene_objects=9,
+              max_scene_objects=12)
     kw.update(overrides)
     return SpairConfig(**kw)
 

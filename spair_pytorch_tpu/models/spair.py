@@ -164,11 +164,19 @@ def forward(params, cfg: SpairConfig, x, step, rng, noise=None):
     z_pres_prob = grid(flat["z_pres_prob"])
     posterior = jax.tree_util.tree_map(grid, flat["posterior"])
 
+    # nan_hunter call sites mirror the reference's (models.py:65,108,245);
+    # zero-cost no-ops unless utils.debug.enable_nan_hunter(True) ran.
+    from spair_pytorch_tpu.utils.debug import nan_hunter
+    nan_hunter("after inference", z_where=z_where, z_pres=z_pres,
+               z_depth=z_depth, feat=feat_flat)
+
     kls = independent_kl(posterior, z_pres, cfg)
     kls["pres_dist"] = count_prior_kl(z_pres_prob, z_pres, step, cfg)
+    nan_hunter("KL divergence", **kls)
 
     recon = render(params, cfg, z_attr, z_where, z_depth, z_pres,
                    cfg.image_shape[1:], dtype).astype(f32)
+    nan_hunter("render", recon=recon)
 
     loss, terms = loss_and_metrics(x, recon, kls, cfg)
 

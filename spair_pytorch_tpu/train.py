@@ -36,7 +36,10 @@ from spair_pytorch_tpu.utils.logging import MetricWriter
 
 
 def make_data(cfg: SpairConfig, hdf5: Optional[str] = None,
-              max_objects: int = 6, seed: int = 0, source: str = "device"):
+              max_objects: Optional[int] = None, seed: int = 0,
+              source: str = "device"):
+    if max_objects is None:
+        max_objects = cfg.max_scene_objects
     if hdf5:
         file = ScatteredMNISTFile(hdf5)
 
@@ -47,6 +50,7 @@ def make_data(cfg: SpairConfig, hdf5: Optional[str] = None,
     _, ih, iw = cfg.image_shape
     patch = (14, 14) if ih >= 64 else (10, 10)
     dcfg = DataConfig(image_hw=(ih, iw), patch_hw=patch,
+                      min_objects=cfg.min_scene_objects,
                       max_objects=max_objects, channels=cfg.n_channels)
     if source == "native":
         from spair_pytorch_tpu.data.native import NativeScatteredDigits
