@@ -54,41 +54,14 @@ def our_config():
                        anchor_shape=(24, 24), inference_mode="raster")
 
 
-def _copy_linear(t_linear, layer):
-    t_linear.weight.data = torch.tensor(
-        np.asarray(layer["w"]).T.copy())
-    t_linear.bias.data = torch.tensor(np.asarray(layer["b"]).copy())
-
-
-def _copy_mlp(t_mod, params, multi: bool):
-    """Copy our MLP params into a reference build_MLP module."""
-    body = t_mod.body if multi else t_mod
-    for i, layer in enumerate(params["trunk"]):
-        _copy_linear(getattr(body, f"dense{i}"), layer)
-    if multi:
-        for i, head in enumerate(params["heads"]):
-            _copy_linear(t_mod.output_layers[i], head)
-    else:
-        _copy_linear(t_mod.out, params["heads"][0])
-
-
 def inject_params(ref_model, params, topology):
-    """Write our param pytree into the reference SPAIR module."""
-    convs = list(ref_model.backbone.net._modules.values())
-    conv_layers = [m for m in convs if isinstance(m, torch.nn.Conv2d)]
-    assert len(conv_layers) == len(params["backbone"]["layers"])
-    for conv, layer in zip(conv_layers, params["backbone"]["layers"]):
-        conv.weight.data = torch.tensor(
-            np.asarray(layer["w"]).transpose(3, 2, 0, 1).copy())
-        conv.bias.data = torch.tensor(np.asarray(layer["b"]).copy())
-
-    _copy_mlp(ref_model.box_network, params["box_net"], multi=True)
-    _copy_mlp(ref_model.object_encoder, params["object_encoder"], multi=False)
-    _copy_mlp(ref_model.z_network, params["z_net"], multi=True)
-    _copy_mlp(ref_model.obj_network, params["obj_net"], multi=False)
-    _copy_mlp(ref_model.object_decoder, params["object_decoder"], multi=False)
-    ref_model.virtual_edge_element.data = torch.tensor(
-        np.asarray(params["edge"]).copy())
+    """Write our param pytree into the reference SPAIR module via the
+    state_dict interop layer (utils/interop.py)."""
+    from spair_pytorch_tpu.utils.interop import to_torch_state_dict
+    sd = {k: torch.tensor(v) for k, v in to_torch_state_dict(params).items()}
+    missing, unexpected = ref_model.load_state_dict(sd, strict=False)
+    assert not unexpected
+    assert all(k.startswith("attn.") for k in missing)  # discarded Self_Attn
 
 
 class _NullWriter:
