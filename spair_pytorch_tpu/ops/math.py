@@ -36,8 +36,17 @@ def clamped_sigmoid(logit, use_analytical: bool = False):
 
 
 def safe_log(t):
-    """log(t + 1e-9); reference modules.py:296-297."""
-    return jnp.log(t + 1e-9)
+    """log(t + 1e-9); reference modules.py:296-297.
+
+    The outer ``maximum`` is load-bearing: XLA reassociates expressions like
+    ``(1.0 - prob) + 1e-9`` into ``(1.0 + 1e-9) - prob``, and since
+    1.0 + 1e-9 rounds back to 1.0 in f32, ``prob == 1.0`` yields log(0) =
+    -inf — and then ``(1 - prob) * safe_log(1 - prob)`` becomes 0 * -inf =
+    NaN *only under jit* (observed killing training at step ~1703; eager
+    mode computes the written order and is fine). Clamping the log argument
+    at 1e-9 is value-identical whenever the unreassociated sum would be
+    >= 1e-9 — in particular exact at t == 0 — and blocks the rewrite."""
+    return jnp.log(jnp.maximum(t + 1e-9, 1e-9))
 
 
 def gaussian_kl(mean_q, std_q, mean_p, std_p):

@@ -71,6 +71,21 @@ class TestLatentMath:
     def test_safe_log(self):
         assert np.isclose(float(safe_log(jnp.array(0.0))), np.log(1e-9))
 
+    def test_bernoulli_kl_saturated_prob_under_jit(self):
+        """Regression: XLA reassociates (1 - prob) + 1e-9 into
+        (1 + 1e-9) - prob == 0 at prob == 1.0, making the jitted KL
+        0 * log(0) = NaN while eager is finite. Killed training at step
+        ~1703 on TPU (and reproduces on CPU)."""
+        p = jnp.float32(1.0)
+        q = jnp.float32(0.0274)
+        eager = float(bernoulli_kl(p, q))
+        jitted = float(jax.jit(bernoulli_kl)(p, q))
+        assert np.isfinite(jitted)
+        assert np.isclose(eager, jitted, rtol=1e-6)
+        # and at prob == 0 / p_z == 1 too
+        assert np.isfinite(float(jax.jit(bernoulli_kl)(
+            jnp.float32(0.0), jnp.float32(1.0))))
+
     def test_gaussian_kl_matches_torch(self):
         torch = pytest.importorskip("torch")
         from torch.distributions import Normal, kl_divergence
