@@ -24,6 +24,27 @@ def latent_to_mean_std(latent):
     return mean, std
 
 
+@jax.custom_jvp
+def _analytical_sigmoid(x):
+    """1/(exp(-x)+1) with a numerically stable derivative.
+
+    The naive autodiff of this expression is exp(-x)/(exp(-x)+1)^2, which
+    overflows to inf/inf = NaN once x < ~-88 in f32. The decoder's color
+    logits (x2 scale, reference config.py:74) drift that negative for black
+    pixels after a few thousand steps — observed poisoning every parameter
+    at step ~5662. The custom JVP uses s*(1-s): same value, same
+    mathematical derivative, no overflow. (The reference's torch autograd
+    has the identical hazard.)"""
+    return 1.0 / (jnp.exp(-x) + 1.0)
+
+
+@_analytical_sigmoid.defjvp
+def _analytical_sigmoid_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    s = _analytical_sigmoid(x)
+    return s, s * (1.0 - s) * t
+
+
 def clamped_sigmoid(logit, use_analytical: bool = False):
     """sigmoid(clamp(logit, -10, 10)); reference modules.py:178-189.
 
@@ -31,7 +52,7 @@ def clamped_sigmoid(logit, use_analytical: bool = False):
     reference uses it in the decoder output path (models.py:492).
     """
     if use_analytical:
-        return 1.0 / (jnp.exp(-logit) + 1.0)
+        return _analytical_sigmoid(logit)
     return jax.nn.sigmoid(jnp.clip(logit, -10.0, 10.0))
 
 

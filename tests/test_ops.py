@@ -71,6 +71,16 @@ class TestLatentMath:
     def test_safe_log(self):
         assert np.isclose(float(safe_log(jnp.array(0.0))), np.log(1e-9))
 
+    def test_analytical_sigmoid_grad_stable(self):
+        """Regression: naive grad of 1/(exp(-x)+1) is exp(-x)/(exp(-x)+1)^2
+        = inf/inf = NaN for x < ~-88; poisoned all params at step ~5662."""
+        g = jax.grad(lambda x: clamped_sigmoid(x, use_analytical=True))
+        for v in [-200.0, -89.0, -10.0, 0.0, 10.0, 200.0]:
+            gv = float(g(jnp.float32(v)))
+            assert np.isfinite(gv), f"grad NaN at {v}"
+        s = 1 / (1 + np.exp(2.0))
+        assert np.isclose(float(g(jnp.float32(-2.0))), s * (1 - s), rtol=1e-5)
+
     def test_bernoulli_kl_saturated_prob_under_jit(self):
         """Regression: XLA reassociates (1 - prob) + 1e-9 into
         (1 + 1e-9) - prob == 0 at prob == 1.0, making the jitted KL
