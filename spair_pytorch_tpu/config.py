@@ -123,6 +123,9 @@ class SpairConfig:
     compute_dtype: str = "float32"
     # 'xla': scan-over-chunks compositor; 'pallas': fused TPU kernel.
     render_backend: str = "xla"
+    # 'reference': importance-normalized blend (reference models.py:524-537,
+    # SURVEY quirk #7); 'ordered': corrected z-depth-ordered alpha-over.
+    render_mode: str = "reference"
     # Object-chunk size for the XLA compositor scan.
     render_chunk: int = 16
     # Emulate the reference's discarded Self_Attn call (models.py:120) for

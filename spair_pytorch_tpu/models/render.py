@@ -119,15 +119,96 @@ def composite_xla(color, alpha, importance, z_where, image_hw, chunk: int):
     return num, den
 
 
+def composite_ordered(color, alpha, z_depth_flat, z_where, image_hw,
+                      chunk: int):
+    """TRUE z-depth-ordered alpha-over compositing (corrected mode).
+
+    The reference's importance normalization only approximates occlusion
+    (its own FIXME, models.py:518-520; SURVEY quirk #7). This mode sorts
+    objects front-to-back by z_depth (higher depth = nearer, consistent
+    with importance = alpha * depth weighting) and applies the over
+    operator with a running per-pixel transmittance:
+
+        out  = sum_o T_o * paste(alpha)_o * paste(color)_o
+        T_o  = prod_{o' nearer} (1 - paste(alpha)_o')
+
+    Implemented as a scan over depth-ordered object chunks carrying
+    (accumulated image, transmittance) — same bounded memory as
+    composite_xla.
+    """
+    b, n, c = color.shape[:3]
+    oh, ow = color.shape[-2:]
+    h, w = image_hw
+    order = jnp.argsort(-z_depth_flat[..., 0], axis=1)  # front first
+
+    def take(t):
+        return jnp.take_along_axis(
+            t, order.reshape((b, n) + (1,) * (t.ndim - 2)), axis=1)
+
+    color, alpha, z_where = take(color), take(alpha), take(z_where)
+
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    if pad:
+        def padn(t):
+            return jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
+        color, alpha = padn(color), padn(alpha)
+        safe = jnp.broadcast_to(jnp.array([0.5, 0.5, 1.0, 1.0]),
+                                (b, pad, 4)).astype(z_where.dtype)
+        z_where = jnp.concatenate([z_where, safe], axis=1)
+        n += pad
+    steps = n // chunk
+
+    def reshape_chunks(t):
+        return t.reshape((b, steps, chunk) + t.shape[2:]).swapaxes(0, 1)
+
+    xs = tuple(map(reshape_chunks, (color, alpha, z_where)))
+
+    def body(carry, x):
+        img, trans = carry
+        col, alp, boxes = x
+        py, px = paste_weights(boxes, (oh, ow), (h, w))
+        glimpse = jnp.concatenate([col, alp], axis=2)
+        tmp = jnp.einsum("bnhy,bncyx->bnchx", py, glimpse)
+        pasted = jnp.einsum("bnchx,bnwx->bnchw", tmp, px)
+        p_col, p_alp = pasted[:, :, :c], pasted[:, :, c:]
+
+        # within-chunk front-to-back over-compositing (sequential in k)
+        def inner(carry_k, k):
+            img, trans = carry_k
+            a_k = jnp.clip(p_alp[:, k], 0.0, 1.0)
+            img = img + trans * a_k * p_col[:, k]
+            trans = trans * (1.0 - a_k)
+            return (img, trans), None
+
+        (img, trans), _ = jax.lax.scan(inner, (img, trans),
+                                       jnp.arange(p_alp.shape[1]))
+        return (img, trans), None
+
+    img0 = jnp.zeros((b, c, h, w), color.dtype)
+    trans0 = jnp.ones((b, 1, h, w), color.dtype)
+    (img, _), _ = jax.lax.scan(body, (img0, trans0), xs)
+    return img
+
+
 def render(params, cfg: SpairConfig, z_attr, z_where, z_depth, z_pres,
            image_hw, dtype=None):
-    """Latent grids (B, gh, gw, ·) -> reconstruction (B, C, H, W) in [0, 1]."""
+    """Latent grids (B, gh, gw, ·) -> reconstruction (B, C, H, W) in [0, 1].
+
+    cfg.render_mode selects the compositing semantics:
+      'reference' — the reference's importance-normalized blend (default).
+      'ordered'   — corrected z-depth-ordered alpha-over.
+    """
     b, gh, gw = z_attr.shape[:3]
     n = gh * gw
     flat = lambda t: t.reshape(b, n, t.shape[-1])
     color, alpha, importance = decode_objects(
         params, cfg, flat(z_attr), flat(z_pres), flat(z_depth), dtype)
     boxes = flat(z_where)
+    if cfg.render_mode == "ordered":
+        out = composite_ordered(color, alpha, flat(z_depth), boxes,
+                                image_hw, cfg.render_chunk)
+        return jnp.clip(out, 0.0, 1.0)
     if cfg.render_backend == "pallas":
         from spair_pytorch_tpu.ops.pallas.composite import composite_pallas
         num, den = composite_pallas(color, alpha, importance, boxes, image_hw)
