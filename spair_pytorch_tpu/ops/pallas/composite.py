@@ -34,9 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _paste_matrix(t, s, out_size: int, in_size: int):
     """(out_size, in_size) hat-function interpolation weights for the
-    inverse STN (zeros padding): ops/stn.py semantics, built on the VPU."""
-    i = jax.lax.broadcasted_iota(jnp.float32, (out_size, 1), 0)
-    a = jax.lax.broadcasted_iota(jnp.float32, (out_size, in_size), 1)
+    inverse STN (zeros padding): ops/stn.py semantics, built on the VPU.
+    tpu.iota only produces integers — build int32 and cast."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(
+        jnp.float32)
+    a = jax.lax.broadcasted_iota(jnp.int32, (out_size, in_size), 1).astype(
+        jnp.float32)
     u_out = 2.0 * i / (out_size - 1) - 1.0
     src = ((u_out - (2.0 * t - 1.0)) / s + 1.0) * (in_size - 1) / 2.0
     return jnp.maximum(0.0, 1.0 - jnp.abs(src - a))

@@ -46,13 +46,23 @@ def optimizer(cfg: SpairConfig):
 
 
 def make_train_step(cfg: SpairConfig, mesh: Optional[Mesh] = None,
-                    donate: bool = True):
-    """Returns step(state, batch) -> (state, metrics). ``batch`` is the
-    (B, C, H, W) image tensor; labels are not consumed by the loss
-    (metrics are host-side, like the reference train.py:76-82)."""
+                    donate: bool = True, with_detection: bool = False,
+                    datagen=None):
+    """Returns step(state, batch) -> (state, metrics).
+
+    ``batch`` is the (B, C, H, W) image tensor, or the full
+    (x, gt_bbox, gt_count) tuple when ``with_detection`` — detection
+    metrics are then computed from the training forward's own latents,
+    exactly like the reference evaluates on the training batch
+    (train.py:77-81), at negligible extra cost and zero extra dispatches.
+
+    ``datagen``: optional (DataConfig, bank) pair — the step then takes NO
+    batch argument and generates its scene on device from the step RNG
+    (BASELINE config 5), collapsing the whole iteration into one dispatch.
+    """
     opt = optimizer(cfg)
 
-    def step_fn(state: TrainState, x):
+    def core(state: TrainState, x, gt_bbox=None, gt_count=None):
         rng, sub = jax.random.split(state.rng)
 
         def loss_fn(params):
@@ -67,7 +77,39 @@ def make_train_step(cfg: SpairConfig, mesh: Optional[Mesh] = None,
                                opt_state=opt_state, rng=rng)
         metrics = dict(aux["losses"])
         metrics["training_wheel"] = aux["training_wheel"]
+        if gt_bbox is not None:
+            from spair_pytorch_tpu import metrics as metric
+            img_size = cfg.image_shape[-1]
+            metrics["accuracy/bbox_average_precision"] = metric.mAP(
+                aux["z_where"], aux["z_pres"], gt_bbox, gt_count, img_size)
+            metrics["accuracy/object_count_accuracy"] = (
+                metric.object_count_error(aux["z_pres"], gt_count))
+            metrics["accuracy/count_exact"] = metric.count_accuracy(
+                aux["z_pres"], gt_count)
+            metrics["accuracy/bbox_ap_center"] = metric.mAP_center(
+                aux["z_where"], aux["z_pres"], gt_bbox, gt_count, img_size)
         return new_state, metrics
+
+    if datagen is not None:
+        from spair_pytorch_tpu.data.scattered_mnist import _generate_one
+        dcfg, bank = datagen
+
+        def step_fn(state: TrainState):
+            rng, sub = jax.random.split(state.rng, 2)
+            keys = jax.random.split(jax.random.fold_in(sub, 1),
+                                    cfg.batch_size)
+            x, gt_bbox, gt_count = jax.vmap(
+                lambda k: _generate_one(k, bank, dcfg))(keys)
+            state = TrainState(step=state.step, params=state.params,
+                               opt_state=state.opt_state, rng=rng)
+            return core(state, x, gt_bbox, gt_count)
+    elif with_detection:
+        def step_fn(state: TrainState, batch):
+            x, gt_bbox, gt_count = batch
+            return core(state, x, gt_bbox, gt_count)
+    else:
+        def step_fn(state: TrainState, x):
+            return core(state, x)
 
     from spair_pytorch_tpu.parallel.constraints import set_constraint_mesh
     set_constraint_mesh(mesh)
@@ -76,11 +118,19 @@ def make_train_step(cfg: SpairConfig, mesh: Optional[Mesh] = None,
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     replicated = NamedSharding(mesh, P())
-    batch_sh = NamedSharding(mesh, P("data", None, None, None))
     # State (params/opt/rng) is replicated; a single spec broadcasts over
-    # the whole pytree.
+    # the whole pytree. Batch leaves shard their leading axis over 'data'.
+    if datagen is not None:
+        in_sh = (replicated,)
+    else:
+        def leaf_sh(ndim):
+            return NamedSharding(mesh, P(*(("data",) + (None,) * (ndim - 1))))
+        if with_detection:
+            in_sh = (replicated, (leaf_sh(4), leaf_sh(3), leaf_sh(2)))
+        else:
+            in_sh = (replicated, leaf_sh(4))
     return jax.jit(step_fn,
-                   in_shardings=(replicated, batch_sh),
+                   in_shardings=in_sh,
                    out_shardings=(replicated, replicated),
                    donate_argnums=(0,) if donate else ())
 

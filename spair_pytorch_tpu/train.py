@@ -24,7 +24,6 @@ from typing import Optional
 import jax
 import numpy as np
 
-from spair_pytorch_tpu import metrics as metric
 from spair_pytorch_tpu.config import PRESETS, SpairConfig
 from spair_pytorch_tpu.data import (DataConfig, OnDeviceScatteredDigits,
                                     ScatteredMNISTFile)
@@ -92,23 +91,48 @@ def train(cfg: SpairConfig,
     if mesh is not None:
         state = replicate(mesh, state)
 
-    step_fn = make_train_step(cfg, mesh)
-    eval_metrics = jax.jit(_detection_metrics, static_argnums=(0,))
+    # Fused mode: data generation + train step + detection metrics in ONE
+    # jitted dispatch per step (BASELINE config 5's on-device generation).
+    # Over the tunneled TPU link each dispatch costs milliseconds of
+    # latency, so dispatch count per step is the driver's throughput bound.
+    fused = hdf5 is None and data_source == "device"
+    if fused:
+        import jax.numpy as jnp
+        from spair_pytorch_tpu.data import DataConfig, glyph_bank
+        _, ih, iw = cfg.image_shape
+        patch = (14, 14) if ih >= 64 else (10, 10)
+        dcfg = DataConfig(image_hw=(ih, iw), patch_hw=patch,
+                          min_objects=cfg.min_scene_objects,
+                          max_objects=cfg.max_scene_objects,
+                          channels=cfg.n_channels)
+        bank = jnp.asarray(glyph_bank(patch))
+        step_fn = make_train_step(cfg, mesh, datagen=(dcfg, bank))
+        data = None
+    else:
+        step_fn = make_train_step(cfg, mesh, with_detection=True)
+        data = iter(make_data(cfg, hdf5, source=data_source))
     eval_forward = jax.jit(
         lambda p, xx, s, r: forward(p, cfg, xx, s, r)[1])
+    viz_data = None
 
-    data = make_data(cfg, hdf5, source=data_source)
-    data = iter(data)
     t_last = time.perf_counter()
     images_done = 0
     pending = []  # buffered (step, device-scalars) awaiting one batched D2H
     last_loss = float("nan")
     it = int(state.step)  # host-side mirror; avoids a device sync per step
     for _ in range(steps):
-        x, gt_bbox, gt_count = next(data)
-        if mesh is not None:
-            x = shard_batch(mesh, x)
-        state, scalars = step_fn(state, x)
+        if fused:
+            state, scalars = step_fn(state)
+        else:
+            batch = next(data)
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            state, scalars = step_fn(state, batch)
+        # reference cadence for detection metrics: >1000, every 5 steps
+        # (train.py:76-82); they are computed in-step, filtered here.
+        if not (metrics_every and it > 1000 and it % metrics_every == 0):
+            scalars = {k: v for k, v in scalars.items()
+                       if not k.startswith("accuracy/")}
 
         # Buffer per-step scalars ON DEVICE and flush in batches: a D2H
         # transfer over the tunneled TPU link costs ~40 ms regardless of
@@ -120,22 +144,21 @@ def train(cfg: SpairConfig,
             host = jax.device_get(pending)
             for pit, pvals in host:
                 writer.scalars(pit, pvals)
-            last_loss = float(host[-1][1]["losses/total"])
+                if "losses/total" in pvals:
+                    last_loss = float(pvals["losses/total"])
             pending.clear()
 
-        # detection metrics cadence: reference train.py:76-82
-        if metrics_every and it > 1000 and it % metrics_every == 0:
-            ap, cerr, cacc = jax.device_get(eval_metrics(
-                cfg, state.params, x, state.step, state.rng,
-                gt_bbox, gt_count))
-            writer.scalars(it, {
-                "accuracy/bbox_average_precision": ap,
-                "accuracy/object_count_accuracy": cerr,
-                "accuracy/count_exact": cacc,
-            })
+        needs_viz = ((log_images_every and it % log_images_every == 0)
+                     or (log_figures_every and it % log_figures_every == 0))
+        if needs_viz:
+            if viz_data is None:
+                viz_data = iter(make_data(cfg, hdf5, seed=4242,
+                                          source="device" if fused
+                                          else data_source))
+            x = next(viz_data)[0]
+            aux = eval_forward(state.params, x, state.step, state.rng)
 
         if log_images_every and it % log_images_every == 0:
-            aux = eval_forward(state.params, x, state.step, state.rng)
             writer.image_pair(it, "SPAIR input_output",
                               np.asarray(x[0]), np.asarray(aux["recon"][0]))
 
@@ -143,12 +166,13 @@ def train(cfg: SpairConfig,
         # 50 steps (debug_tools.py:56)
         if log_figures_every and it % log_figures_every == 0:
             from spair_pytorch_tpu.utils.viz import render_analysis_figure
-            aux = eval_forward(state.params, x, state.step, state.rng)
-            aux = jax.device_get({k: aux[k] for k in
-                                  ("recon", "z_where", "z_pres", "z_depth")})
-            fig = render_analysis_figure(np.asarray(x), aux["recon"],
-                                         aux["z_where"], aux["z_pres"],
-                                         aux["z_depth"])
+            host_aux = jax.device_get(
+                {k: aux[k] for k in ("recon", "z_where", "z_pres",
+                                     "z_depth")})
+            fig = render_analysis_figure(np.asarray(x), host_aux["recon"],
+                                         host_aux["z_where"],
+                                         host_aux["z_pres"],
+                                         host_aux["z_depth"])
             writer.figure(it, "analysis/renderer", fig)
 
         if ckpt and it >= 1000 and it % checkpoint_every == 0:
@@ -168,16 +192,6 @@ def train(cfg: SpairConfig,
         ckpt.wait()
     writer.close()
     return state
-
-
-def _detection_metrics(cfg, params, x, step, rng, gt_bbox, gt_count):
-    _, aux = forward(params, cfg, x, step, rng)
-    img_size = cfg.image_shape[-1]
-    ap = metric.mAP(aux["z_where"], aux["z_pres"], gt_bbox, gt_count,
-                    img_size)
-    cerr = metric.object_count_error(aux["z_pres"], gt_count)
-    cacc = metric.count_accuracy(aux["z_pres"], gt_count)
-    return ap, cerr, cacc
 
 
 def main(argv=None):
