@@ -27,6 +27,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--repeats", type=int, default=3,
+                   help="timing blocks; the fastest is reported (the "
+                        "tunneled TPU link has multi-ms latency windows)")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--mode", default="wavefront",
                    choices=["independent", "raster", "wavefront"])
@@ -66,14 +69,18 @@ def main():
         state, metrics = step_fn(state, batch(i))
     jax.block_until_ready(metrics)
 
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        state, metrics = step_fn(state, batch(args.warmup + i))
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    k = args.warmup
+    for _ in range(max(1, args.repeats)):
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = step_fn(state, batch(k))
+            k += 1
+        jax.block_until_ready(metrics)
+        best = min(best, time.perf_counter() - t0)
 
     n_chips = jax.device_count()
-    ips_per_chip = args.batch * args.steps / dt / n_chips
+    ips_per_chip = args.batch * args.steps / best / n_chips
     print(json.dumps({
         "metric": "train images/sec/chip, 128x128 scattered-MNIST, "
                   f"batch {args.batch}, {args.mode} inference",

@@ -141,3 +141,85 @@ def test_forward_parity_with_reference(ref_modules, step):
                                ref_recon.numpy(), atol=1e-4)
     assert np.isclose(float(loss), float(ref_loss), rtol=1e-4), (
         f"loss {float(loss)} vs reference {float(ref_loss)}")
+
+
+def test_training_trajectory_parity(ref_modules):
+    """Bit-comparable ELBO CURVES (BASELINE.json north star): run several
+    Adam steps of BOTH implementations from the same parameters with zeroed
+    sampling noise on a fixed batch, and compare the loss trajectory. This
+    pins the BACKWARD semantics end-to-end: STN gradients, stop-gradient
+    freeze mixing, BCE backward, KL gradients, and Adam."""
+    import torch.nn.functional as F
+    import optax
+
+    ref_cfg, ref_models = ref_modules
+    cfg = our_config()
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    rng = np.random.RandomState(11)
+    x = (rng.rand(2, 1, 60, 60) > 0.85).astype("f")
+    n_steps = 4
+    step0 = 1503  # training wheel off so all heads receive gradients
+
+    # --- ours ---
+    _, (gh, gw), _ = geometry(cfg)
+    noise = jax.tree_util.tree_map(
+        jnp.zeros_like, sample_noise(jax.random.PRNGKey(0), 2, (gh, gw), cfg))
+    opt = optax.adam(1e-4, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = opt.init(params)
+    xj = jnp.asarray(x)
+
+    @jax.jit
+    def train_step(p, o, step):
+        (loss, _), grads = jax.value_and_grad(
+            lambda q: forward(q, cfg, xj, step, jax.random.PRNGKey(0),
+                              noise=noise), has_aux=True)(p)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    ours = []
+    p = params
+    for i in range(n_steps):
+        p, opt_state, loss = train_step(p, opt_state, step0 + i)
+        ours.append(float(loss))
+
+    # --- reference ---
+    ref_model = ref_models.SPAIR([1, 60, 60], _NullWriter(), "cpu")
+    inject_params(ref_model, params, cfg.backbone_topology)
+    ref_opt = torch.optim.Adam(ref_model.parameters(), lr=1e-4)
+
+    orig_affine, orig_sample = F.affine_grid, F.grid_sample
+
+    def affine_ac(theta, size, align_corners=None):
+        return orig_affine(theta, size, align_corners=True)
+
+    def sample_ac(inp, grid, mode="bilinear", padding_mode="zeros",
+                  align_corners=None):
+        return orig_sample(inp, grid, mode=mode, padding_mode=padding_mode,
+                           align_corners=True)
+
+    def normal_mean(self, sample_shape=torch.Size()):
+        return self.loc.expand(self._extended_shape(sample_shape)).clone()
+
+    def uniform_half(self, sample_shape=torch.Size()):
+        return torch.full(self._extended_shape(sample_shape), 0.5)
+
+    theirs = []
+    with mock.patch.object(torch.distributions.Normal, "rsample",
+                           normal_mean), \
+            mock.patch.object(torch.distributions.Uniform, "rsample",
+                              uniform_half), \
+            mock.patch.object(F, "affine_grid", affine_ac), \
+            mock.patch.object(F, "grid_sample", sample_ac), \
+            mock.patch.object(ref_models.debug_tools,
+                              "plot_prerender_components",
+                              lambda *a, **k: None), \
+            contextlib.redirect_stdout(io.StringIO()):
+        xt = torch.tensor(x)
+        for i in range(n_steps):
+            ref_opt.zero_grad()
+            loss, *_ = ref_model(xt, step0 + i)
+            loss.backward()
+            ref_opt.step()
+            theirs.append(float(loss))
+
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4), (ours, theirs)
