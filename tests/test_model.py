@@ -209,3 +209,26 @@ class TestTraining:
         x = jax.random.uniform(jax.random.PRNGKey(5), (2, 1, 48, 48))
         state, metrics = step(state, x)
         assert np.isfinite(float(metrics["losses/total"]))
+
+
+class TestNonSquare:
+    def test_non_square_image_forward(self):
+        """Geometry, STN, and renderer must handle H != W (per-axis padding
+        math, reference modules.py:68-105 keeps axes separate)."""
+        cfg = tiny_config(image_shape=(1, 48, 72))
+        from spair_pytorch_tpu.models import geometry as geom_fn
+        _, (gh, gw), cell = geom_fn(cfg)
+        assert (gh, gw) == (4, 6) and cell == (12, 12)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 72))
+        loss, aux = forward(params, cfg, x, 0, jax.random.PRNGKey(2))
+        assert aux["recon"].shape == (2, 1, 48, 72)
+        assert aux["z_where"].shape == (2, 4, 4, 6)
+        assert np.isfinite(float(loss))
+
+    def test_non_square_wavefront(self):
+        cfg = tiny_config(image_shape=(1, 48, 72), inference_mode="wavefront")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 48, 72))
+        loss, _ = forward(params, cfg, x, 0, jax.random.PRNGKey(2))
+        assert np.isfinite(float(loss))
