@@ -21,10 +21,12 @@ same ``cell_step`` (models/latents.py):
     to float-reassociation; asserted in tests/test_model.py).
 
 Lateral context is held in a zero-copy "halo" buffer: a flat
-(grid_h+2)x(grid_w+2)+1 board initialized with the edge element. Cells
-write their 56-dim context vector at their padded coordinate; neighbors
-outside the grid (or not yet visited) naturally read the edge element, and
-one extra trash slot absorbs writes from masked wavefront lanes.
+(grid_h+2n)x(grid_w+2n)+1 board (n = n_lookback) initialized with the edge
+element. Cells write their 56-dim context vector at their padded
+coordinate; neighbors outside the grid (or not yet visited) naturally read
+the edge element, and one extra trash slot absorbs writes from masked
+wavefront lanes. Arbitrary N_LOOKBACK is supported with the generalized
+wavefront d = (n+1)h + w (see inference_schedule).
 """
 
 from __future__ import annotations
@@ -45,23 +47,37 @@ from spair_pytorch_tpu.ops.math import binary_cross_entropy_sum
 from spair_pytorch_tpu.ops.schedules import exponential_decay
 
 __all__ = ["init_params", "forward", "loss_and_metrics", "geometry",
-           "inference_schedule"]
+           "inference_schedule", "neighbor_offsets"]
 
-# Neighbor offsets in reference order [(-1,-1), (-1,0), (-1,1), (0,-1)]
-# (models.py:294-307; order verified by executing the meshgrid construction).
-_NEIGHBOR_OFFSETS = ((-1, -1), (-1, 0), (-1, 1), (0, -1))
+def neighbor_offsets(n_lookback: int = 1):
+    """Lateral-context neighbor offsets in the reference's order.
+
+    The reference builds them by meshgrid over rows [-n..0] x cols [-n..n]
+    and drops the trailing n+1 entries — i.e. all already-visited cells in
+    the lookback window, row-major (models.py:294-307). For n=1 this is
+    [(-1,-1), (-1,0), (-1,1), (0,-1)] (order verified by executing the
+    reference construction)."""
+    n = n_lookback
+    offs = [(dh, dw) for dh in range(-n, 1) for dw in range(-n, n + 1)]
+    return tuple(offs[:-(n + 1)])
 
 
-def inference_schedule(mode: str, gh: int, gw: int):
+def inference_schedule(mode: str, gh: int, gw: int, n_lookback: int = 1):
     """Static scan schedule: groups of mutually independent cells.
+
+    The wavefront index is d = (n_lookback+1)*h + w: every neighbor offset
+    (dh<0, any dw in [-n..n]) or (dh=0, dw<0) strictly decreases d, so
+    equal-d fronts are mutually independent for ANY lookback (plain
+    anti-diagonals h+w already fail at n=1: (h-1, w+1) shares them).
 
     Returns dict of numpy arrays (turned into scan xs):
       cell_idx (S, K): flat raster index of each lane's cell (0 for masked),
       cell_hw (S, K, 2), mask (S, K),
-      nbr_idx (S, K, 4): flat indices into the halo board,
+      nbr_idx (S, K, n_neighbors): flat indices into the halo board,
       write_idx (S, K): halo-board write position (trash slot for masked),
       perm (N,): lane position (s*K + k) of each raster cell, for unpacking.
     """
+    offsets = neighbor_offsets(n_lookback)
     if mode == "raster":
         fronts: List[List[Tuple[int, int]]] = [
             [(h, w)] for h in range(gh) for w in range(gw)]
@@ -69,21 +85,22 @@ def inference_schedule(mode: str, gh: int, gw: int):
         by_d: Dict[int, List[Tuple[int, int]]] = {}
         for h in range(gh):
             for w in range(gw):
-                by_d.setdefault(2 * h + w, []).append((h, w))
+                by_d.setdefault((n_lookback + 1) * h + w, []).append((h, w))
         fronts = [by_d[d] for d in sorted(by_d)]
     else:
         raise ValueError(f"unknown scan mode {mode!r}")
 
     s = len(fronts)
     k = max(len(f) for f in fronts)
-    pw = gw + 2  # halo board width
-    board_size = (gh + 2) * pw
+    halo = n_lookback
+    pw = gw + 2 * halo  # halo board width
+    board_size = (gh + 2 * halo) * pw
     trash = board_size  # extra slot absorbing masked writes
 
     cell_idx = np.zeros((s, k), np.int32)
     cell_hw = np.zeros((s, k, 2), np.int32)
     mask = np.zeros((s, k), bool)
-    nbr_idx = np.zeros((s, k, 4), np.int32)
+    nbr_idx = np.zeros((s, k, len(offsets)), np.int32)
     write_idx = np.full((s, k), trash, np.int32)
     perm = np.zeros(gh * gw, np.int32)
 
@@ -92,9 +109,9 @@ def inference_schedule(mode: str, gh: int, gw: int):
             cell_idx[si, ki] = h * gw + w
             cell_hw[si, ki] = (h, w)
             mask[si, ki] = True
-            write_idx[si, ki] = (h + 1) * pw + (w + 1)
-            for ni, (dh, dw) in enumerate(_NEIGHBOR_OFFSETS):
-                nbr_idx[si, ki, ni] = (h + 1 + dh) * pw + (w + 1 + dw)
+            write_idx[si, ki] = (h + halo) * pw + (w + halo)
+            for ni, (dh, dw) in enumerate(offsets):
+                nbr_idx[si, ki, ni] = (h + halo + dh) * pw + (w + halo + dw)
             perm[h * gw + w] = si * k + ki
     return dict(cell_idx=cell_idx, cell_hw=cell_hw, mask=mask,
                 nbr_idx=nbr_idx, write_idx=write_idx, perm=perm,
@@ -142,7 +159,7 @@ def forward(params, cfg: SpairConfig, x, step, rng, noise=None):
         from spair_pytorch_tpu.parallel.constraints import constrain
         feat_flat = constrain(feat_flat, "data", "model", None)
         context = jnp.broadcast_to(
-            jnp.tile(params["edge"], len(_NEIGHBOR_OFFSETS)),
+            jnp.tile(params["edge"], cfg.context_neighbors),
             (b, n, cfg.context_dim))
         hw = np.stack(np.unravel_index(np.arange(n), (gh, gw)),
                       -1).astype(np.int32)
@@ -199,7 +216,8 @@ def forward(params, cfg: SpairConfig, x, step, rng, noise=None):
 def _scan_inference(params, cfg, geom, x, feat_flat, noise_flat, tw, dtype,
                     b, gh, gw):
     """Sequential lateral-context inference as a lax.scan over cell groups."""
-    sched = inference_schedule(cfg.inference_mode, gh, gw)
+    sched = inference_schedule(cfg.inference_mode, gh, gw,
+                               cfg.n_lookback)
     board0 = jnp.broadcast_to(params["edge"],
                               (b, sched["board_size"] + 1,
                                cfg.context_elem_dim))

@@ -232,3 +232,44 @@ class TestNonSquare:
         x = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 48, 72))
         loss, _ = forward(params, cfg, x, 0, jax.random.PRNGKey(2))
         assert np.isfinite(float(loss))
+
+
+class TestLookback2:
+    def test_neighbor_offsets_match_reference_construction(self):
+        """Offsets must equal the reference's meshgrid construction
+        (models.py:294-307) for any N_LOOKBACK."""
+        from spair_pytorch_tpu.models import spair as spair_mod
+        for n in [1, 2, 3]:
+            rows = np.arange(-n, 1)
+            cols = np.arange(-n, n + 1)
+            mesh = np.array(np.meshgrid(rows, cols)).T
+            ref = [tuple(c) for c in
+                   np.reshape(mesh, (-1, 2))[:-(n + 1), :].tolist()]
+            assert list(spair_mod.neighbor_offsets(n)) == ref
+
+    def test_lookback2_raster_equals_wavefront(self):
+        cfg = tiny_config(n_lookback=2, inference_mode="raster")
+        cfg_w = tiny_config(n_lookback=2, inference_mode="wavefront")
+        assert cfg.context_dim == 12 * (4 + 8 + 1 + 1)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
+        loss_r, aux_r = forward(params, cfg, x, 1500, jax.random.PRNGKey(2))
+        loss_w, aux_w = forward(params, cfg_w, x, 1500, jax.random.PRNGKey(2))
+        np.testing.assert_allclose(np.asarray(aux_r["z_pres"]),
+                                   np.asarray(aux_w["z_pres"]),
+                                   rtol=1e-5, atol=1e-6)
+        assert np.isclose(float(loss_r), float(loss_w), rtol=1e-4)
+
+    def test_lookback2_wavefront_topological(self):
+        sched = inference_schedule("wavefront", 6, 6, n_lookback=2)
+        order = {}
+        for s in range(sched["steps"]):
+            for k in range(sched["lanes"]):
+                if sched["mask"][s, k]:
+                    order[tuple(sched["cell_hw"][s, k])] = s
+        from spair_pytorch_tpu.models.spair import neighbor_offsets
+        for (h, w), s in order.items():
+            for dh, dw in neighbor_offsets(2):
+                nb = (h + dh, w + dw)
+                if nb in order:
+                    assert order[nb] < s
