@@ -174,6 +174,9 @@ def train(cfg: SpairConfig,
                                          host_aux["z_pres"],
                                          host_aux["z_depth"])
             writer.figure(it, "analysis/renderer", fig)
+            # reference _debug_logging tags (models.py:565-604)
+            writer.latent_stats(it, host_aux["z_where"], host_aux["z_pres"],
+                                host_aux["z_depth"])
 
         if ckpt and it >= 1000 and it % checkpoint_every == 0:
             ckpt.save(state)

@@ -66,6 +66,26 @@ class MetricWriter:
             [np.asarray(image_in), np.asarray(image_out)], axis=-1)
         self._tb.add_image(tag, np.clip(combined, 0.0, 1.0), step)
 
+    def histogram(self, step: int, tag: str, values):
+        """Histogram logging (reference models.py:586-589 box histograms)."""
+        if self._tb is not None:
+            self._tb.add_histogram(tag, np.asarray(values), step)
+
+    def latent_stats(self, step: int, z_where, z_pres, z_depth):
+        """The reference's _debug_logging quantities (models.py:565-604):
+        per-axis box histograms and z_pres / z_depth min-mean-max scalars,
+        under the same tag names."""
+        z_where = np.asarray(z_where)
+        for i, name in enumerate(["x", "y", "w", "h"]):
+            self.histogram(step, f"box/{name}", z_where[0, i])
+        scal = {}
+        for name, t in [("z_presence", np.asarray(z_pres)[0]),
+                        ("z_depth", np.asarray(z_depth)[0])]:
+            scal[f"{name}/max"] = float(t.max())
+            scal[f"{name}/mean"] = float(t.mean())
+            scal[f"{name}/min"] = float(t.min())
+        self.scalars(step, scal)
+
     def figure(self, step: int, tag: str, fig):
         """Write a matplotlib figure (reference debug_tools.py:104)."""
         if self._tb is not None:

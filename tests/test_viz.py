@@ -37,3 +37,23 @@ def test_writer_figure_fallback(tmp_path):
     w.figure(3, "analysis/test", fig)
     assert (tmp_path / "figures" / "analysis_test_3.png").exists()
     w.close()
+
+
+def test_latent_stats_logging(tmp_path):
+    import json
+    from spair_pytorch_tpu.utils.logging import MetricWriter
+    w = MetricWriter(str(tmp_path), use_tensorboard=False)
+    rng = np.random.RandomState(0)
+    w.latent_stats(7, rng.rand(2, 4, 3, 3), rng.rand(2, 1, 3, 3),
+                   rng.rand(2, 1, 3, 3) * 4)
+    w.close()
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert any("z_presence/mean" in r for r in rows)
+    assert any("z_depth/max" in r for r in rows)
+
+
+def test_memory_report_runs():
+    from spair_pytorch_tpu.utils.memory import (device_memory_stats,
+                                                live_array_report)
+    assert isinstance(device_memory_stats(), dict)
+    assert "total live" in live_array_report()
