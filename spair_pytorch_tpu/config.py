@@ -126,6 +126,10 @@ class SpairConfig:
     # 'reference': importance-normalized blend (reference models.py:524-537,
     # SURVEY quirk #7); 'ordered': corrected z-depth-ordered alpha-over.
     render_mode: str = "reference"
+    # scan-free count-prior KL (models/kl.py::count_prior_kl_parallel):
+    # mathematically identical, different float rounding; the sequential
+    # scan stays the fidelity default.
+    count_prior_parallel: bool = False
     # Object-chunk size for the XLA compositor scan.
     render_chunk: int = 16
     # Emulate the reference's discarded Self_Attn call (models.py:120) for
@@ -196,7 +200,7 @@ def cluttered_config(**overrides) -> SpairConfig:
 def tpu_throughput_config(**overrides) -> SpairConfig:
     """BASELINE config 5: large-batch data-parallel TPU training."""
     kw = dict(batch_size=256, inference_mode="independent",
-              compute_dtype="bfloat16", render_backend="pallas")
+              compute_dtype="bfloat16", count_prior_parallel=True)
     kw.update(overrides)
     return SpairConfig(**kw)
 

@@ -85,3 +85,65 @@ def count_prior_kl(z_pres_prob, z_pres, step, cfg: SpairConfig):
     xs = (probs, samples, jnp.arange(hw, dtype=jnp.float32))
     _, kls = jax.lax.scan(body, init, xs)  # (HW, B)
     return kls.T.reshape(b, gh, gw, 1)
+
+
+def count_prior_kl_parallel(z_pres_prob, z_pres, step, cfg: SpairConfig):
+    """The same count-prior KL with NO sequential scan.
+
+    The recurrence is only superficially sequential: the count updates use
+    ROUNDED samples (reference models.py:232), which are known up front and
+    round() carries zero gradient. The per-cell count distribution therefore
+    telescopes:
+
+        cd_i  ∝  cd_0 ⊙ Π_{j<i} mult_j          (per-step normalizations cancel)
+        p_z_i =  Σ_k cd_0[k] M_i[k] p_i[k] / Σ_k cd_0[k] M_i[k]
+
+    with M the exclusive cumulative product, computed in log space with a
+    per-cell max shift (the raw product underflows f32 after ~120 factors of
+    ~0.5 early in training; a feasible count k* with all-positive factors
+    always exists, so the shifted exponentials are well-defined). One
+    (B, HW, HW+1) elementwise block plus a cumsum — fully parallel on the
+    VPU.
+
+    Matches ``count_prior_kl`` to ~1e-5 whenever the sequential version's
+    1e-6 normalizer clamp (reference models.py:238) does not bind. When the
+    clamp DOES bind — presence counts wildly exceeding the annealed prior's
+    support, e.g. 60 present cells against the end-of-anneal prior — the
+    sequential version's clamp distorts the count posterior and the two
+    diverge; this version is the exact telescoped value. The sequential
+    scan therefore remains the fidelity default (enable via
+    cfg.count_prior_parallel)."""
+    b, gh, gw, _ = z_pres_prob.shape
+    hw = gh * gw
+    support = jnp.arange(hw + 1, dtype=jnp.float32)
+
+    log_odds = exponential_decay(step, cfg.count_prior)
+    # log cd0[k] = log(1-pp) + k*log(pp) - log Z; the k-independent terms
+    # cancel in the p_z ratio, so only k*log(pp) survives. Computing the
+    # log analytically matters: cd0 itself underflows f32 for k >~ 20 at
+    # late steps (pp ~ 0.012), which would wipe out the feasible count's
+    # weight and NaN the max-shift (the sequential scan dodges this via
+    # per-step renormalization).
+    log_pp = -jax.nn.softplus(-log_odds)  # log sigmoid(log_odds)
+    log_cd0 = support * log_pp
+
+    probs = z_pres_prob.reshape(b, hw)
+    samples = jnp.round(z_pres.reshape(b, hw))
+    csf = jnp.cumsum(samples, axis=1) - samples  # exclusive prefix (B, HW)
+    idx = jnp.arange(hw, dtype=jnp.float32)
+    rem = (hw - idx)[None, :, None]
+
+    p = jnp.clip(support[None, None, :] - csf[..., None], 0.0, rem) / rem
+    s = samples[..., None]
+    mult = s * p + (1.0 - s) * (1.0 - p)          # (B, HW, K)
+
+    log_mult = jnp.log(mult)                       # -inf at exact zeros: ok
+    l_incl = jnp.cumsum(log_mult, axis=1)
+    l_excl = jnp.concatenate(
+        [jnp.zeros((b, 1, hw + 1)), l_incl[:, :-1]], axis=1)
+    logits = log_cd0[None, None, :] + l_excl
+    shift = jnp.max(logits, axis=-1, keepdims=True)  # finite: k* feasible
+    w = jnp.exp(logits - shift)
+    p_z = jnp.clip(jnp.sum(w * p, axis=-1) / jnp.sum(w, axis=-1), 0.0, 1.0)
+    kl = bernoulli_kl(probs, p_z)
+    return kl.reshape(b, gh, gw, 1)

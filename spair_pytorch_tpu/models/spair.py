@@ -38,7 +38,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from spair_pytorch_tpu.config import SpairConfig
-from spair_pytorch_tpu.models.kl import count_prior_kl, independent_kl
+from spair_pytorch_tpu.models.kl import (count_prior_kl,
+                                          count_prior_kl_parallel,
+                                          independent_kl)
 from spair_pytorch_tpu.models.latents import (cell_step, geometry,
                                               init_params, sample_noise)
 from spair_pytorch_tpu.models.render import render
@@ -188,7 +190,9 @@ def forward(params, cfg: SpairConfig, x, step, rng, noise=None):
                z_depth=z_depth, feat=feat_flat)
 
     kls = independent_kl(posterior, z_pres, cfg)
-    kls["pres_dist"] = count_prior_kl(z_pres_prob, z_pres, step, cfg)
+    count_kl = (count_prior_kl_parallel if cfg.count_prior_parallel
+                else count_prior_kl)
+    kls["pres_dist"] = count_kl(z_pres_prob, z_pres, step, cfg)
     nan_hunter("KL divergence", **kls)
 
     recon = render(params, cfg, z_attr, z_where, z_depth, z_pres,

@@ -273,3 +273,51 @@ class TestLookback2:
                 nb = (h + dh, w + dw)
                 if nb in order:
                     assert order[nb] < s
+
+
+class TestParallelCountKL:
+    def test_matches_sequential_scan(self):
+        from spair_pytorch_tpu.models.kl import count_prior_kl_parallel
+        rng = np.random.RandomState(0)
+        cfg = tiny_config()
+        # dense random presence at early/mid anneal
+        for b, gh, gw, step in [(3, 4, 4, 0), (2, 11, 11, 1700)]:
+            prob = jnp.asarray(rng.uniform(0.01, 0.99,
+                                           (b, gh, gw, 1)).astype("f"))
+            seq = np.asarray(count_prior_kl(prob, prob, step, cfg))
+            par = np.asarray(count_prior_kl_parallel(prob, prob, step, cfg))
+            np.testing.assert_allclose(par, seq, rtol=1e-3, atol=1e-5)
+        # late anneal with REALISTIC sparse presence (a trained model):
+        # the sequential clamp never binds, so the two agree. With dense
+        # random presence against the end-of-anneal prior the reference's
+        # 1e-6 normalizer clamp binds and the versions legitimately diverge
+        # (see count_prior_kl_parallel docstring).
+        prob = np.full((2, 11, 11, 1), 0.01, "f")
+        idx = rng.choice(121, 5, replace=False)
+        prob[:, idx // 11, idx % 11, 0] = 0.97
+        prob = jnp.asarray(prob)
+        seq = np.asarray(count_prior_kl(prob, prob, 50000, cfg))
+        par = np.asarray(count_prior_kl_parallel(prob, prob, 50000, cfg))
+        np.testing.assert_allclose(par, seq, rtol=1e-3, atol=1e-5)
+
+    def test_saturated_and_gradients(self):
+        from spair_pytorch_tpu.models.kl import count_prior_kl_parallel
+        cfg = tiny_config()
+        prob = jnp.full((2, 11, 11, 1), 0.999)
+        kl = count_prior_kl_parallel(prob, prob, 1700, cfg)
+        assert bool(jnp.isfinite(kl).all())
+
+        def f(p):
+            return jnp.sum(count_prior_kl_parallel(p, p, 2000, cfg))
+        g = jax.grad(f)(jnp.full((1, 4, 4, 1), 0.4))
+        assert bool(jnp.isfinite(g).all())
+
+    def test_forward_with_parallel_count_kl(self):
+        cfg = tiny_config(inference_mode="independent",
+                          count_prior_parallel=True)
+        cfg_seq = tiny_config(inference_mode="independent")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
+        loss_p, _ = forward(params, cfg, x, 0, jax.random.PRNGKey(2))
+        loss_s, _ = forward(params, cfg_seq, x, 0, jax.random.PRNGKey(2))
+        assert np.isclose(float(loss_p), float(loss_s), rtol=1e-4)
