@@ -112,7 +112,15 @@ def make_train_step(cfg: SpairConfig, mesh: Optional[Mesh] = None,
             return core(state, x)
 
     from spair_pytorch_tpu.parallel.constraints import set_constraint_mesh
-    set_constraint_mesh(mesh)
+
+    inner_step = step_fn
+
+    def step_fn(*args):
+        # Bind the sharding-constraint mesh AT TRACE TIME (jit traces this
+        # wrapper on first call), so interleaved construction of steps for
+        # different meshes can't cross-contaminate the traced constraints.
+        set_constraint_mesh(mesh)
+        return inner_step(*args)
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
