@@ -64,6 +64,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--logdir", required=True)
     p.add_argument("--preset", default="paper128", choices=sorted(PRESETS))
+    p.add_argument("--mode", default=None,
+                   choices=[None, "independent", "raster", "wavefront"],
+                   help="override inference mode (match how it was trained)")
     p.add_argument("--batches", type=int, default=16)
     p.add_argument("--step", type=int, default=None,
                    help="checkpoint step (default: latest)")
@@ -75,7 +78,8 @@ def main(argv=None):
 
     from spair_pytorch_tpu.utils.checkpoint import CheckpointManager
 
-    cfg = PRESETS[args.preset]()
+    overrides = {"inference_mode": args.mode} if args.mode else {}
+    cfg = PRESETS[args.preset](**overrides)
     state = create_train_state(cfg)
     mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"))
     restored = mgr.restore(state, step=args.step)
