@@ -68,6 +68,7 @@ def train(cfg: SpairConfig,
           log_images_every: int = 0,
           log_figures_every: int = 0,
           log_flush_every: int = 25,
+          halt_on_nan: bool = True,
           resume: bool = True,
           verbose: bool = True):
     if logdir is None:
@@ -147,6 +148,14 @@ def train(cfg: SpairConfig,
                 if "losses/total" in pvals:
                     last_loss = float(pvals["losses/total"])
             pending.clear()
+            if halt_on_nan and not np.isfinite(last_loss):
+                # the reference crashes via nan_hunter (debug_tools.py:245);
+                # we stop cleanly — the last checkpoint predates the NaN, so
+                # a resumed run (optionally with debugging enabled) can
+                # continue from healthy state.
+                print(f"NaN loss at step ~{it}; halting "
+                      f"(resume from {logdir}/checkpoints)")
+                break
 
         needs_viz = ((log_images_every and it % log_images_every == 0)
                      or (log_figures_every and it % log_figures_every == 0))
