@@ -126,6 +126,11 @@ class SpairConfig:
     # 'reference': importance-normalized blend (reference models.py:524-537,
     # SURVEY quirk #7); 'ordered': corrected z-depth-ordered alpha-over.
     render_mode: str = "reference"
+    # object appearance codec: 'mlp' (reference object_encoder/decoder,
+    # models.py:148-165) or 'conv' — the conv codec the reference sketched
+    # but left broken (models.py:606-665), implemented working
+    # (ops/convcodec.py).
+    object_codec: str = "mlp"
     # scan-free count-prior KL (models/kl.py::count_prior_kl_parallel):
     # mathematically identical, different float rounding; the sequential
     # scan stays the fidelity default.

@@ -56,15 +56,22 @@ def init_params(key, cfg: SpairConfig) -> Dict:
     z_in = 4 + a + n_pass + ctx + n_feat
     obj_in = z_in + 1
 
+    if cfg.object_codec == "conv":
+        from spair_pytorch_tpu.ops.convcodec import (init_conv_decoder,
+                                                     init_conv_encoder)
+        encoder = init_conv_encoder(keys[2], c, 2 * a, cfg.object_shape)
+        decoder = init_conv_decoder(keys[5], a, c + 1, cfg.object_shape)
+    else:
+        encoder = init_mlp(keys[2], c * oh * ow, cfg.encoder_hidden, (2 * a,))
+        decoder = init_mlp(keys[5], a, cfg.decoder_hidden,
+                           (oh * ow * (c + 1),))
     params = {
         "backbone": init_backbone(keys[0], c, n_feat, cfg.backbone_topology),
         "box_net": init_mlp(keys[1], box_in, cfg.mlp_hidden, (8, n_pass)),
-        "object_encoder": init_mlp(keys[2], c * oh * ow, cfg.encoder_hidden,
-                                   (2 * a,)),
+        "object_encoder": encoder,
         "z_net": init_mlp(keys[3], z_in, cfg.mlp_hidden, (2, n_pass)),
         "obj_net": init_mlp(keys[4], obj_in, cfg.mlp_hidden, (1,)),
-        "object_decoder": init_mlp(keys[5], a, cfg.decoder_hidden,
-                                   (oh * ow * (c + 1),)),
+        "object_decoder": decoder,
         "edge": _init_edge_element(keys[6], cfg),
     }
     if cfg.vestigial_self_attn:
@@ -168,8 +175,13 @@ def cell_step(params, cfg: SpairConfig, geom, image, feat_cells, context,
     # --- z_what (reference models.py:82-85, 383-391) ---
     glimpses = crop_glimpses(image, z_where, cfg.object_shape, dtype)
     b, k = glimpses.shape[:2]
-    flat = glimpses.reshape(b, k, -1)
-    attr_latent = apply_mlp1(params["object_encoder"], flat, dtype)
+    if cfg.object_codec == "conv":
+        from spair_pytorch_tpu.ops.convcodec import apply_conv_encoder
+        attr_latent = apply_conv_encoder(params["object_encoder"], glimpses,
+                                         dtype=dtype)
+    else:
+        flat = glimpses.reshape(b, k, -1)
+        attr_latent = apply_mlp1(params["object_encoder"], flat, dtype)
     attr_mean, attr_std = latent_to_mean_std(attr_latent)
     attr = attr_mean + attr_std * noise["attr"]
 

@@ -48,9 +48,14 @@ def decode_objects(params, cfg: SpairConfig, z_attr, z_pres, z_depth,
     """
     c = cfg.n_channels
     oh, ow = cfg.object_shape
-    logits = apply_mlp1(params["object_decoder"], z_attr, dtype)
-    b, n = logits.shape[:2]
-    logits = logits.reshape(b, n, oh, ow, c + 1)
+    if cfg.object_codec == "conv":
+        from spair_pytorch_tpu.ops.convcodec import apply_conv_decoder
+        logits = apply_conv_decoder(params["object_decoder"], z_attr,
+                                    cfg.object_shape, dtype=dtype)
+    else:
+        logits = apply_mlp1(params["object_decoder"], z_attr, dtype)
+        b, n = logits.shape[:2]
+        logits = logits.reshape(b, n, oh, ow, c + 1)
     color_logits = logits[..., :c] * cfg.obj_logit_scale
     alpha_logits = (logits[..., c:] * cfg.alpha_logit_scale
                     + cfg.alpha_logit_bias)
