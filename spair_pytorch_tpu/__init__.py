@@ -19,4 +19,17 @@ from spair_pytorch_tpu.config import (  # noqa: F401
     tpu_throughput_config,
 )
 
+
+def __getattr__(name):
+    # lazy subpackage access (spair_pytorch_tpu.models / .parallel / .data /
+    # .metrics / .utils) without importing jax-heavy modules at package
+    # import time
+    import importlib
+    if name in ("models", "parallel", "data", "metrics", "utils", "train",
+                "eval"):
+        return importlib.import_module(f"spair_pytorch_tpu.{name}")
+    raise AttributeError(f"module 'spair_pytorch_tpu' has no attribute "
+                         f"{name!r}")
+
+
 __version__ = "0.1.0"

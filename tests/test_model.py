@@ -321,3 +321,24 @@ class TestParallelCountKL:
         loss_p, _ = forward(params, cfg, x, 0, jax.random.PRNGKey(2))
         loss_s, _ = forward(params, cfg_seq, x, 0, jax.random.PRNGKey(2))
         assert np.isclose(float(loss_p), float(loss_s), rtol=1e-4)
+
+
+class TestBf16:
+    def test_bf16_forward_and_grads(self):
+        """compute_dtype='bfloat16': matmuls in bf16, latent math in f32,
+        finite loss and gradients."""
+        cfg = tiny_config(inference_mode="wavefront",
+                          compute_dtype="bfloat16")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
+        loss, aux = forward(params, cfg, x, 0, jax.random.PRNGKey(2))
+        assert aux["recon"].dtype == jnp.float32
+        assert np.isfinite(float(loss))
+        # close to the f32 result (bf16 has ~3 decimal digits)
+        cfg32 = tiny_config(inference_mode="wavefront")
+        loss32, _ = forward(params, cfg32, x, 0, jax.random.PRNGKey(2))
+        assert np.isclose(float(loss), float(loss32), rtol=0.05)
+        g = jax.grad(lambda p: forward(p, cfg, x, 0,
+                                       jax.random.PRNGKey(2))[0])(params)
+        assert all(np.isfinite(float(jnp.abs(l).max()))
+                   for l in jax.tree_util.tree_leaves(g))
