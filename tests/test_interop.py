@@ -66,3 +66,36 @@ class TestRoundtrip:
             assert all(k.startswith("attn.") for k in missing), missing
         finally:
             sys.path.remove("/root/reference")
+
+
+def test_export_import_cli_roundtrip(tmp_path):
+    """Full CLI path: train 1 step -> export .pkl -> import into a new
+    logdir -> params identical."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from spair_pytorch_tpu import export as export_cli
+    from spair_pytorch_tpu.parallel import create_train_state
+    from spair_pytorch_tpu.utils.checkpoint import CheckpointManager
+    import os
+    from unittest import mock
+
+    cfg = tiny_config()
+    state = create_train_state(cfg)
+    mgr = CheckpointManager(str(tmp_path / "run" / "checkpoints"))
+    mgr.save(state)
+    mgr.wait()
+
+    pkl = str(tmp_path / "exported.pkl")
+    with mock.patch.dict("spair_pytorch_tpu.export.PRESETS",
+                         {"tiny": lambda **kw: tiny_config(**kw)}):
+        export_cli.main(["--logdir", str(tmp_path / "run"),
+                         "--preset", "tiny", "--out", pkl])
+        assert os.path.exists(pkl)
+        export_cli.main(["--import-pkl", pkl, "--preset", "tiny",
+                         "--logdir", str(tmp_path / "back")])
+
+    back = CheckpointManager(str(tmp_path / "back" / "checkpoints")).restore(
+        create_train_state(cfg))
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(back.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
