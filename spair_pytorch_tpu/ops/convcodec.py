@@ -22,7 +22,7 @@ object sizes work (the reference hardcoded 28x28-era numbers).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ replicated-parameter gradient reduction is inserted by XLA (psum over ICI).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional
 
 import jax

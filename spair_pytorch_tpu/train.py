@@ -27,7 +27,7 @@ import numpy as np
 from spair_pytorch_tpu.config import PRESETS, SpairConfig
 from spair_pytorch_tpu.data import (DataConfig, OnDeviceScatteredDigits,
                                     ScatteredMNISTFile)
-from spair_pytorch_tpu.models import forward, geometry
+from spair_pytorch_tpu.models import forward
 from spair_pytorch_tpu.parallel import (create_train_state, make_mesh,
                                         make_train_step, shard_batch,
                                         replicate)
