@@ -124,20 +124,11 @@ def _compute_dtype(cfg: SpairConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
 
-def forward(params, cfg: SpairConfig, x, step, rng, noise=None):
-    """Full inference + generation pass.
-
-    Args:
-      x: (B, C, H, W) images in [0, 1] (reference layout, train.py:58).
-      step: global step (traced scalar ok) driving the schedules.
-      rng: jax PRNG key for this step's stochastic draws.
-      noise: optional pre-sampled noise pytree (see sample_noise) overriding
-        the rng draws — used for fidelity testing and deterministic eval.
-
-    Returns (loss, aux) where aux carries the reconstruction, latent grids
-    in the reference's NCHW layout, and every scalar the reference logs
-    (models.py:544-563).
-    """
+def infer_latents(params, cfg: SpairConfig, x, step, rng, noise=None):
+    """The inference pass only: image -> latent grids (NHWC), posterior
+    params, and presence probabilities — no KL, no rendering, no loss.
+    Shared by ``forward`` (training) and the serving detector
+    (models/infer.py)."""
     geom = geometry(cfg)
     pads, (gh, gw), _ = geom
     n = gh * gw
@@ -176,12 +167,39 @@ def forward(params, cfg: SpairConfig, x, step, rng, noise=None):
     def grid(t):
         return t.reshape(b, gh, gw, t.shape[-1])
 
-    z_where = grid(flat["z_where"])
-    z_attr = grid(flat["z_attr"])
-    z_depth = grid(flat["z_depth"])
-    z_pres = grid(flat["z_pres"])
-    z_pres_prob = grid(flat["z_pres_prob"])
-    posterior = jax.tree_util.tree_map(grid, flat["posterior"])
+    return {
+        "z_where": grid(flat["z_where"]),
+        "z_attr": grid(flat["z_attr"]),
+        "z_depth": grid(flat["z_depth"]),
+        "z_pres": grid(flat["z_pres"]),
+        "z_pres_prob": grid(flat["z_pres_prob"]),
+        "posterior": jax.tree_util.tree_map(grid, flat["posterior"]),
+        "training_wheel": tw,
+        "feat_flat": feat_flat,
+    }
+
+
+def forward(params, cfg: SpairConfig, x, step, rng, noise=None):
+    """Full inference + generation pass.
+
+    Args:
+      x: (B, C, H, W) images in [0, 1] (reference layout, train.py:58).
+      step: global step (traced scalar ok) driving the schedules.
+      rng: jax PRNG key for this step's stochastic draws.
+      noise: optional pre-sampled noise pytree (see sample_noise) overriding
+        the rng draws — used for fidelity testing and deterministic eval.
+
+    Returns (loss, aux) where aux carries the reconstruction, latent grids
+    in the reference's NCHW layout, and every scalar the reference logs
+    (models.py:544-563).
+    """
+    z = infer_latents(params, cfg, x, step, rng, noise)
+    z_where, z_attr = z["z_where"], z["z_attr"]
+    z_depth, z_pres = z["z_depth"], z["z_pres"]
+    z_pres_prob, posterior = z["z_pres_prob"], z["posterior"]
+    tw, feat_flat = z["training_wheel"], z["feat_flat"]
+    dtype = _compute_dtype(cfg)
+    f32 = jnp.float32
 
     # nan_hunter call sites mirror the reference's (models.py:65,108,245);
     # zero-cost no-ops unless utils.debug.enable_nan_hunter(True) ran.
