@@ -149,6 +149,11 @@ class SpairConfig:
 
     # --- training ---
     learning_rate: float = 1e-4
+    # optional global-norm gradient clipping (no reference counterpart —
+    # the reference trains unclipped and NaN-crashes on loss explosions).
+    # Healthy global grad norms measured ~6e4 on the paper config; 1e6
+    # only engages during blow-ups. None = off (reference parity).
+    grad_clip_norm: float = 0.0  # 0 = disabled
     seed: int = 3  # reference train.py:39
 
     @property
@@ -197,7 +202,7 @@ def sequential_config(**overrides) -> SpairConfig:
 def cluttered_config(**overrides) -> SpairConfig:
     """BASELINE config 4: cluttered scenes (9+ digits), depth compositing."""
     kw = dict(inference_mode="wavefront", min_scene_objects=9,
-              max_scene_objects=12)
+              max_scene_objects=12, grad_clip_norm=1e6)
     kw.update(overrides)
     return SpairConfig(**kw)
 

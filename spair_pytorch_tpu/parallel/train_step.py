@@ -40,8 +40,14 @@ def create_train_state(cfg: SpairConfig, seed: Optional[int] = None) -> TrainSta
 
 def optimizer(cfg: SpairConfig):
     # Adam with torch defaults (reference train.py:44: lr=1e-4, betas
-    # (0.9, 0.999), eps 1e-8).
-    return optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    # (0.9, 0.999), eps 1e-8); optional global-norm clipping in front
+    # (cfg.grad_clip_norm > 0) to survive the loss explosions that crash
+    # the unclipped reference.
+    adam = optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm),
+                           adam)
+    return adam
 
 
 def make_train_step(cfg: SpairConfig, mesh: Optional[Mesh] = None,

@@ -126,3 +126,17 @@ class TestTrainDriver:
                       checkpoint_every=0, metrics_every=0, verbose=False)
         assert int(state.step) == 3
         assert (tmp_path / "run" / "metrics.jsonl").exists()
+
+
+class TestGradClipping:
+    def test_clipped_optimizer_trains(self):
+        cfg = tiny_config(inference_mode="independent", grad_clip_norm=1.0)
+        state = create_train_state(cfg)
+        step = make_train_step(cfg, donate=False)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 1, 48, 48))
+        s1, m1 = step(state, x)
+        # with clip norm 1.0 every update is tiny but finite
+        assert np.isfinite(float(m1["losses/total"]))
+        d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                   state.params, s1.params)
+        assert max(jax.tree_util.tree_leaves(d)) > 0
