@@ -82,7 +82,7 @@ def main(argv=None):
     cfg = PRESETS[args.preset](**overrides)
     state = create_train_state(cfg)
     mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"))
-    restored = mgr.restore(state, step=args.step)
+    restored = mgr.restore(state, step=args.step, params_only=True)
     if restored is None:
         raise SystemExit(f"no checkpoint under {args.logdir}")
     state = restored

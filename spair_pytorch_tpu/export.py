@@ -55,7 +55,7 @@ def main(argv=None):
         print(f"imported {args.import_pkl} -> {args.logdir} @ step {step}")
         return
 
-    restored = mgr.restore(state, step=args.step)
+    restored = mgr.restore(state, step=args.step, params_only=True)
     if restored is None:
         raise SystemExit(f"no checkpoint under {args.logdir}")
     sd = {k: torch.tensor(v)

@@ -218,6 +218,8 @@ def main(argv=None):
     p.add_argument("--data", default="device", choices=["device", "native"],
                    help="on-device jitted generator or native C++ pipeline")
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--grad-clip", type=float, default=None,
+                   help="global-norm gradient clipping (0/unset = off)")
     p.add_argument("--mode", default=None,
                    choices=["independent", "raster", "wavefront"])
     p.add_argument("--no-resume", action="store_true")
@@ -228,6 +230,8 @@ def main(argv=None):
         overrides["batch_size"] = args.batch
     if args.mode:
         overrides["inference_mode"] = args.mode
+    if args.grad_clip is not None:
+        overrides["grad_clip_norm"] = args.grad_clip
     cfg = PRESETS[args.preset](**overrides)
     train(cfg, steps=args.steps, logdir=args.logdir, hdf5=args.hdf5,
           data_source=args.data, use_mesh=args.mesh,

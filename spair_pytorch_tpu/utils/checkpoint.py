@@ -32,13 +32,27 @@ class CheckpointManager:
         self._mgr.save(step, args=ocp.args.StandardSave(_to_pytree(state)))
         return step
 
-    def restore(self, template: TrainState,
-                step: Optional[int] = None) -> Optional[TrainState]:
+    def restore(self, template: TrainState, step: Optional[int] = None,
+                params_only: bool = False) -> Optional[TrainState]:
         """Restore into the shapes/dtypes of ``template``; returns None when
-        no checkpoint exists (fresh start)."""
+        no checkpoint exists (fresh start).
+
+        ``params_only`` skips the optimizer state (partial restore) — for
+        evaluation/export, where the training run may have used a different
+        optimizer structure (e.g. gradient clipping wraps opt_state in a
+        chain) than the preset default."""
         step = self.latest_step() if step is None else step
         if step is None:
             return None
+        if params_only:
+            item = {"step": template.step, "params": template.params,
+                    "rng": template.rng}
+            restored = self._mgr.restore(
+                step, args=ocp.args.PyTreeRestore(item, partial_restore=True))
+            return TrainState(step=restored["step"],
+                              params=restored["params"],
+                              opt_state=template.opt_state,
+                              rng=restored["rng"])
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(_to_pytree(template)))
         return _from_pytree(restored)
