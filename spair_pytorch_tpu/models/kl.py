@@ -135,9 +135,17 @@ def count_prior_kl_parallel(z_pres_prob, z_pres, step, cfg: SpairConfig):
 
     p = jnp.clip(support[None, None, :] - csf[..., None], 0.0, rem) / rem
     s = samples[..., None]
-    mult = s * p + (1.0 - s) * (1.0 - p)          # (B, HW, K)
+    # clamp: on TPU the division lowers to multiply-by-reciprocal, so p can
+    # exceed 1 by an ulp and (1 - p) goes NEGATIVE -> log(mult) = NaN
+    # (observed at step 0 on hardware; exact on CPU).
+    mult = jnp.clip(s * p + (1.0 - s) * (1.0 - p), 0.0, 1.0)  # (B, HW, K)
 
-    log_mult = jnp.log(mult)                       # -inf at exact zeros: ok
+    # Clamp instead of letting log(0) = -inf through: on TPU, XLA lowers
+    # cumsum as a triangular-matrix MATMUL, and 0 * (-inf) = NaN poisons
+    # every prefix (NaN at step 0 on hardware; CPU's sequential cumsum
+    # masks the bug). -1e30 per factor keeps 121-term sums ~1e32, far from
+    # f32 overflow, and exp(-1e30 - shift) underflows to the same 0.
+    log_mult = jnp.maximum(jnp.log(mult), -1e30)
     l_incl = jnp.cumsum(log_mult, axis=1)
     l_excl = jnp.concatenate(
         [jnp.zeros((b, 1, hw + 1)), l_incl[:, :-1]], axis=1)
@@ -145,5 +153,12 @@ def count_prior_kl_parallel(z_pres_prob, z_pres, step, cfg: SpairConfig):
     shift = jnp.max(logits, axis=-1, keepdims=True)  # finite: k* feasible
     w = jnp.exp(logits - shift)
     p_z = jnp.clip(jnp.sum(w * p, axis=-1) / jnp.sum(w, axis=-1), 0.0, 1.0)
+    # p_z has ZERO parameter gradient by construction — every input is
+    # round()-gated (samples, csf) or constant — but the log(0) = -inf
+    # intermediates make the naive VJP emit 0 * inf = NaN (observed killing
+    # the tpu_throughput preset at step ~25). stop_gradient prunes the
+    # dead-but-NaN branch; the sequential scan's gradient is identically
+    # zero here too.
+    p_z = jax.lax.stop_gradient(p_z)
     kl = bernoulli_kl(probs, p_z)
     return kl.reshape(b, gh, gw, 1)

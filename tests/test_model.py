@@ -312,6 +312,31 @@ class TestParallelCountKL:
         g = jax.grad(f)(jnp.full((1, 4, 4, 1), 0.4))
         assert bool(jnp.isfinite(g).all())
 
+    def test_gradients_with_mixed_saturated_probs_under_jit(self):
+        """Regression: mult == 0 entries emit log(0) = -inf; without the
+        stop_gradient on p_z the VJP computes 0 * inf = NaN (killed the
+        tpu_throughput preset at step ~25 on TPU). Mixed 0/1-rounding probs
+        on a full grid exercise every mult-zero pattern."""
+        from spair_pytorch_tpu.models.kl import count_prior_kl_parallel
+        cfg = tiny_config()
+        rng = np.random.RandomState(3)
+        prob = jnp.asarray(
+            rng.choice([0.02, 0.98], (2, 11, 11, 1)).astype("f"))
+
+        @jax.jit
+        def f(p):
+            return jnp.sum(count_prior_kl_parallel(p, p, 10, cfg))
+        g = jax.grad(f)(prob)
+        assert bool(jnp.isfinite(g).all()), "NaN grads in parallel count KL"
+        # and the gradient matches the sequential scan's (both dead through
+        # p_z, live through prob)
+        @jax.jit
+        def f_seq(p):
+            return jnp.sum(count_prior_kl(p, p, 10, cfg))
+        g_seq = jax.grad(f_seq)(prob)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_seq),
+                                   rtol=1e-3, atol=1e-5)
+
     def test_forward_with_parallel_count_kl(self):
         cfg = tiny_config(inference_mode="independent",
                           count_prior_parallel=True)
