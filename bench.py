@@ -69,7 +69,7 @@ def main():
         state, metrics = step_fn(state, batch(i))
     jax.block_until_ready(metrics)
 
-    best = float("inf")
+    times = []
     k = args.warmup
     for _ in range(max(1, args.repeats)):
         t0 = time.perf_counter()
@@ -77,16 +77,26 @@ def main():
             state, metrics = step_fn(state, batch(k))
             k += 1
         jax.block_until_ready(metrics)
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
 
-    n_chips = jax.device_count()
-    ips_per_chip = args.batch * args.steps / best / n_chips
+    # step_fn is built without a mesh: exactly ONE chip does the work, so
+    # per-chip throughput divides by 1, not jax.device_count().
+    images = args.batch * args.steps
+    per_block_ips = sorted(images / t for t in times)
+    ips_per_chip = per_block_ips[-1]                      # best block
+    median_ips = per_block_ips[len(per_block_ips) // 2]
     print(json.dumps({
         "metric": "train images/sec/chip, 128x128 scattered-MNIST, "
                   f"batch {args.batch}, {args.mode} inference",
         "value": round(ips_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips_per_chip / args.baseline_ips, 2),
+        # dispersion across timing blocks: the tunneled TPU link has
+        # multi-ms latency windows, so best-vs-median separates real
+        # regressions from link noise (VERDICT round 1, item 10).
+        "spread": {"median": round(median_ips, 2),
+                   "min": round(per_block_ips[0], 2),
+                   "blocks": len(per_block_ips)},
     }))
 
 

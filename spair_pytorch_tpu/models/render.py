@@ -214,7 +214,10 @@ def render(params, cfg: SpairConfig, z_attr, z_where, z_depth, z_pres,
         out = composite_ordered(color, alpha, flat(z_depth), boxes,
                                 image_hw, cfg.render_chunk)
         return jnp.clip(out, 0.0, 1.0)
-    if cfg.render_backend == "pallas":
+    # the Pallas kernel is grayscale-only (ops/pallas/composite.py); route
+    # multi-channel configs to the XLA path instead of tripping the kernel's
+    # c==1 assert (which -O strips, silently dropping channels).
+    if cfg.render_backend == "pallas" and cfg.n_channels == 1:
         from spair_pytorch_tpu.ops.pallas.composite import composite_pallas
         num, den = composite_pallas(color, alpha, importance, boxes, image_hw)
     else:

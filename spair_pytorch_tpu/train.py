@@ -187,7 +187,10 @@ def train(cfg: SpairConfig,
             writer.latent_stats(it, host_aux["z_where"], host_aux["z_pres"],
                                 host_aux["z_depth"])
 
-        if ckpt and it >= 1000 and it % checkpoint_every == 0:
+        # state.step is already it+1 here; trigger on the POST-step count so
+        # checkpoint labels land on round step numbers (step_1000, step_2000)
+        # matching the reference's step_N naming and `eval --step N`.
+        if ckpt and (it + 1) % checkpoint_every == 0:
             ckpt.save(state)
 
         images_done += cfg.batch_size
