@@ -137,8 +137,11 @@ class SpairConfig:
     count_prior_parallel: bool = False
     # Object-chunk size for the XLA compositor scan.
     render_chunk: int = 16
-    # Emulate the reference's discarded Self_Attn call (models.py:120) for
-    # parameter-count parity. Off by default: no gradient path exists.
+    # Emulate the reference's discarded Self_Attn call (models.py:120):
+    # registers the SAGAN-block params AND computes it every forward with
+    # the output discarded, exactly like the reference — full param-count
+    # and compute-graph parity, zero effect on loss/gradients. Off by
+    # default: it is dead compute by the reference's own construction.
     vestigial_self_attn: bool = False
 
     # --- data/scene ---

@@ -75,9 +75,11 @@ def init_params(key, cfg: SpairConfig) -> Dict:
         "edge": _init_edge_element(keys[6], cfg),
     }
     if cfg.vestigial_self_attn:
-        # Parameter-count parity with the reference's dead Self_Attn
-        # (models.py:667-699): its output is discarded and receives no
-        # gradient, so we register the params but never compute it.
+        # Full parity with the reference's dead Self_Attn
+        # (models.py:667-699): params registered AND the block computed
+        # every forward (apply_self_attn, wired in models/spair.py), with
+        # the output discarded exactly like the reference's models.py:120 —
+        # no gradient ever flows to it.
         d = 4 + a + 1
         params["self_attn"] = {
             "query": init_mlp(keys[7], d, (), (d // 8,)),
@@ -118,6 +120,22 @@ def sample_noise(key, batch: int, grid_hw: Tuple[int, int], cfg: SpairConfig):
         "depth": jax.random.normal(ks[2], (batch, gh, gw, 1)),
         "pres_noise": jnp.log(u + eps) - jnp.log(1.0 - u + eps),
     }
+
+
+def apply_self_attn(params, ctx):
+    """SAGAN-style self-attention over the grid of 55-dim (box, attr,
+    depth) cell vectors — the reference's ``Self_Attn``
+    (models.py:667-699), which it calls every forward and DISCARDS
+    (models.py:120). 1x1 convs over the grid are per-cell linears here.
+    Note the reference's forward never applies gamma or the residual; it
+    returns the raw attention output — reproduced as-is.
+
+    ctx: (B, N, d) -> (B, N, d)."""
+    q = apply_mlp1(params["query"], ctx)               # (B, N, d//8)
+    k = apply_mlp1(params["key"], ctx)                 # (B, N, d//8)
+    v = apply_mlp1(params["value"], ctx)               # (B, N, d)
+    attn = jax.nn.softmax(jnp.einsum("bid,bjd->bij", q, k), axis=-1)
+    return jnp.einsum("bij,bjd->bid", attn, v)
 
 
 def freeze_learning(v, tw):

@@ -174,6 +174,7 @@ def infer_latents(params, cfg: SpairConfig, x, step, rng, noise=None):
         "z_pres": grid(flat["z_pres"]),
         "z_pres_prob": grid(flat["z_pres_prob"]),
         "posterior": jax.tree_util.tree_map(grid, flat["posterior"]),
+        "context_vec": grid(flat["context_vec"]),
         "training_wheel": tw,
         "feat_flat": feat_flat,
     }
@@ -219,6 +220,21 @@ def forward(params, cfg: SpairConfig, x, step, rng, noise=None):
 
     loss, terms = loss_and_metrics(x, recon, kls, cfg)
 
+    if cfg.vestigial_self_attn and "self_attn" in params:
+        # The reference runs its SAGAN Self_Attn every forward on the
+        # (box, attr, depth) context grid and discards the output
+        # (models.py:120) — no gradient path exists. Reproduce the compute
+        # for full graph parity: stop_gradient guarantees zero backward
+        # cost, and surfacing the mean as a (non-loss) metric keeps XLA
+        # from dead-code-eliminating the "discarded" block.
+        from spair_pytorch_tpu.models.latents import apply_self_attn
+        b = x.shape[0]
+        test_ctx = z["context_vec"][..., :-1]  # drop z_pres: 4 + A + 1 dims
+        test_ctx = test_ctx.reshape(b, -1, test_ctx.shape[-1])
+        attn_out = apply_self_attn(params["self_attn"],
+                                   jax.lax.stop_gradient(test_ctx))
+        terms["debug/self_attn_mean"] = jnp.mean(attn_out)
+
     def nchw(t):
         return jnp.transpose(t, (0, 3, 1, 2))
 
@@ -259,7 +275,7 @@ def _scan_inference(params, cfg, geom, x, feat_flat, noise_flat, tw, dtype,
         ctx = ctx.reshape(b, k, cfg.context_dim)
         out = cell_step(params, cfg, geom, x, feats, ctx, noise_k,
                         step_xs["cell_hw"], tw, dtype)
-        board = board.at[:, step_xs["write_idx"]].set(out.pop("context_vec"))
+        board = board.at[:, step_xs["write_idx"]].set(out["context_vec"])
         return board, out
 
     _, ys = jax.lax.scan(body, board0, xs)

@@ -367,3 +367,67 @@ class TestBf16:
                                        jax.random.PRNGKey(2))[0])(params)
         assert all(np.isfinite(float(jnp.abs(l).max()))
                    for l in jax.tree_util.tree_leaves(g))
+
+
+class TestSelfAttn:
+    """The reference's vestigial SAGAN block (models.py:120,667-699):
+    computed every forward, output discarded, zero gradient."""
+
+    def test_self_attn_loss_and_grads_unchanged(self):
+        cfg_off = tiny_config(inference_mode="independent")
+        cfg_on = tiny_config(inference_mode="independent",
+                             vestigial_self_attn=True)
+        params = init_params(jax.random.PRNGKey(0), cfg_on)
+        assert "self_attn" in params
+        params_off = {k: v for k, v in params.items() if k != "self_attn"}
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
+        rng = jax.random.PRNGKey(2)
+
+        loss_on, aux_on = forward(params, cfg_on, x, 0, rng)
+        loss_off, _ = forward(params_off, cfg_off, x, 0, rng)
+        assert float(loss_on) == float(loss_off)
+        # the block really computed something
+        assert np.isfinite(float(aux_on["losses"]["debug/self_attn_mean"]))
+
+        g_on = jax.grad(lambda p: forward(p, cfg_on, x, 0, rng)[0])(params)
+        g_off = jax.grad(lambda p: forward(p, cfg_off, x, 0, rng)[0])(
+            params_off)
+        # zero gradient to the attn params (discarded output)
+        for leaf in jax.tree_util.tree_leaves(g_on["self_attn"]):
+            assert float(jnp.abs(leaf).max()) == 0.0
+        # identical gradients everywhere else
+        for k in g_off:
+            for a, b_ in zip(jax.tree_util.tree_leaves(g_on[k]),
+                             jax.tree_util.tree_leaves(g_off[k])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    def test_self_attn_matches_torch_block(self):
+        """apply_self_attn vs a torch transcription of the reference's
+        Self_Attn forward (1x1-conv QKV, softmax over keys, bmm; no gamma,
+        no residual — models.py:683-699)."""
+        import torch
+        from spair_pytorch_tpu.models.latents import apply_self_attn
+        from spair_pytorch_tpu.ops.mlp import init_mlp
+
+        d, n, b = 16, 9, 2
+        params = {
+            "query": init_mlp(jax.random.PRNGKey(0), d, (), (d // 8,)),
+            "key": init_mlp(jax.random.PRNGKey(1), d, (), (d // 8,)),
+            "value": init_mlp(jax.random.PRNGKey(2), d, (), (d,)),
+            "gamma": jnp.zeros((1,)),
+        }
+        ctx = jax.random.normal(jax.random.PRNGKey(3), (b, n, d))
+        ours = np.asarray(apply_self_attn(params, ctx))
+
+        def lin(p, x):  # torch equivalent of our per-cell linear
+            w = torch.tensor(np.asarray(p["heads"][0]["w"]))
+            bb = torch.tensor(np.asarray(p["heads"][0]["b"]))
+            return x @ w + bb
+
+        xt = torch.tensor(np.asarray(ctx))
+        q, k, v = lin(params["query"], xt), lin(params["key"], xt), \
+            lin(params["value"], xt)
+        energy = torch.bmm(q, k.transpose(1, 2))
+        attn = torch.softmax(energy, dim=-1)
+        theirs = torch.bmm(attn, v).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
