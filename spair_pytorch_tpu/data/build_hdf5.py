@@ -23,16 +23,19 @@ from spair_pytorch_tpu.data.scattered_mnist import DataConfig
 
 
 def build(out: str, n: int, dcfg: DataConfig, seed: int = 0,
-          group: str = "train/full", chunk: int = 512):
+          group: str = "train/full", chunk: int = 512,
+          digits: str = "auto"):
     import h5py
 
+    from spair_pytorch_tpu.data.digits import digit_bank
+    bank = digit_bank(digits, dcfg.patch_hw)
     try:
         from spair_pytorch_tpu.data.native import NativeScatteredDigits
-        gen = NativeScatteredDigits(dcfg, batch=chunk, seed=seed)
+        gen = NativeScatteredDigits(dcfg, batch=chunk, bank=bank, seed=seed)
     except Exception:  # no C++ toolchain: jit the on-device generator
         from spair_pytorch_tpu.data.scattered_mnist import (
             OnDeviceScatteredDigits)
-        gen = OnDeviceScatteredDigits(dcfg, batch=chunk, seed=seed)
+        gen = OnDeviceScatteredDigits(dcfg, batch=chunk, bank=bank, seed=seed)
 
     ih, iw = dcfg.image_hw
     with h5py.File(out, "w") as f:
@@ -64,12 +67,14 @@ def main(argv=None):
     p.add_argument("--min-objects", type=int, default=1)
     p.add_argument("--max-objects", type=int, default=6)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--digits", default="auto",
+                   choices=["auto", "mnist", "sklearn", "font"])
     args = p.parse_args(argv)
     dcfg = DataConfig(image_hw=(args.size, args.size),
                       patch_hw=(args.patch, args.patch),
                       min_objects=args.min_objects,
                       max_objects=args.max_objects)
-    out = build(args.out, args.n, dcfg, seed=args.seed)
+    out = build(args.out, args.n, dcfg, seed=args.seed, digits=args.digits)
     print(f"wrote {args.n} scenes to {out}")
 
 

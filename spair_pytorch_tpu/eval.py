@@ -27,14 +27,17 @@ from spair_pytorch_tpu.parallel import create_train_state
 from spair_pytorch_tpu.train import make_data
 
 
-def evaluate(cfg, state, batches: int = 16, data=None, seed: int = 1234):
+def evaluate(cfg, state, batches: int = 16, data=None, seed: int = 1234,
+             digits: str = "auto"):
     data = iter(data if data is not None else
-                make_data(cfg, seed=seed))
+                make_data(cfg, seed=seed, digits=digits))
     img_size = cfg.image_shape[-1]
 
     @jax.jit
     def run(params, x, step, rng, gt_bbox, gt_count):
         _, aux = forward(params, cfg, x, step, rng)
+        matches = metric.match_predictions(
+            aux["z_where"], aux["z_pres"], gt_bbox, gt_count, img_size)
         return {
             "bbox_average_precision": metric.mAP(
                 aux["z_where"], aux["z_pres"], gt_bbox, gt_count, img_size),
@@ -44,18 +47,25 @@ def evaluate(cfg, state, batches: int = 16, data=None, seed: int = 1234):
                 aux["z_pres"], gt_count),
             "count_exact_accuracy": metric.count_accuracy(
                 aux["z_pres"], gt_count),
-        }, aux
+        }, aux, matches
 
     rng = jax.random.PRNGKey(seed)
     sums, aux_last, x_last = None, None, None
+    pooled = []  # (scores, tp, n_gt) per batch, for dataset-level AP@0.5
     for i in range(batches):
         x, gt_bbox, gt_count = next(data)
-        m, aux_last = run(state.params, x, state.step,
-                          jax.random.fold_in(rng, i), gt_bbox, gt_count)
-        m = jax.device_get(m)
+        m, aux_last, matches = run(state.params, x, state.step,
+                                   jax.random.fold_in(rng, i),
+                                   gt_bbox, gt_count)
+        m, matches = jax.device_get((m, matches))
+        pooled.append(matches)
         x_last = x
         sums = m if sums is None else {k: sums[k] + m[k] for k in m}
     result = {k: float(v) / batches for k, v in sums.items()}
+    result["ap_at_50"] = metric.average_precision(
+        np.concatenate([p[0] for p in pooled]),
+        np.concatenate([p[1] for p in pooled]),
+        np.concatenate([p[2] for p in pooled]))
     result["step"] = int(state.step)
     return result, aux_last, x_last
 
@@ -72,6 +82,10 @@ def main(argv=None):
                    help="checkpoint step (default: latest)")
     p.add_argument("--figure", default=None,
                    help="write a renderer-analysis PNG here")
+    p.add_argument("--digits", default="auto",
+                   choices=["auto", "mnist", "sklearn", "font"],
+                   help="digit patch source for the eval scenes (match "
+                        "what training used)")
     args = p.parse_args(argv)
 
     import os
@@ -87,7 +101,8 @@ def main(argv=None):
         raise SystemExit(f"no checkpoint under {args.logdir}")
     state = restored
 
-    result, aux, x = evaluate(cfg, state, batches=args.batches)
+    result, aux, x = evaluate(cfg, state, batches=args.batches,
+                              digits=args.digits)
     print(json.dumps(result, indent=2))
 
     if args.figure:

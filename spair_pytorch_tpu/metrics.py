@@ -19,7 +19,9 @@ alongside for honest evaluation; both families are jittable.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _flatten_grid(t):
@@ -114,3 +116,75 @@ def count_accuracy(z_pres, gt_count):
     the paper's count-accuracy metric."""
     pred_count = jnp.sum(jnp.round(_flatten_grid(z_pres)), axis=1)
     return jnp.mean((pred_count == gt_count).astype(jnp.float32))
+
+
+def match_predictions(z_where, z_pres, gt_bbox, gt_count, image_size: int,
+                      iou_threshold: float = 0.5):
+    """Greedy score-ordered prediction/GT matching for STANDARD AP.
+
+    Neither the reference's soft-thresholded per-GT metric nor its corner
+    quirk — this is the Pascal-VOC/COCO matching rule: predictions sorted
+    by confidence (z_pres), each matched to the highest-IoU unmatched GT;
+    a match with IoU >= threshold is a true positive. Boxes use the
+    renderer's CENTER semantics (reference models.py:373-376).
+
+    Returns (scores (B, N), tp (B, N) float 0/1, n_gt (B,)) — pool these
+    across the eval set and feed ``average_precision`` for the dataset AP.
+    """
+    pred = _flatten_grid(z_where) * image_size
+    half = pred[..., 2:] / 2.0
+    pred = jnp.concatenate([pred[..., :2] - half, pred[..., :2] + half],
+                           axis=-1)
+    scores = _flatten_grid(z_pres)[..., 0]                     # (B, N)
+    gt = jnp.concatenate([gt_bbox[..., :2],
+                          gt_bbox[..., :2] + gt_bbox[..., 2:]], axis=-1)
+    m = gt.shape[1]
+    gt_valid = jnp.arange(m)[None] < gt_count                   # (B, M)
+
+    inter = intersect(pred, gt)
+    area_a = ((pred[..., 2] - pred[..., 0])
+              * (pred[..., 3] - pred[..., 1]))[:, :, None]
+    area_b = ((gt[..., 2] - gt[..., 0])
+              * (gt[..., 3] - gt[..., 1]))[:, None, :]
+    ious = inter / jnp.maximum(area_a + area_b - inter, 1e-9)   # (B, N, M)
+
+    order = jnp.argsort(-scores, axis=1)                        # (B, N)
+
+    def per_image(ious_i, order_i, valid_i):
+        def body(matched, idx):
+            cand = ious_i[idx] * valid_i * (1.0 - matched)
+            j = jnp.argmax(cand)
+            hit = cand[j] >= iou_threshold
+            matched = matched.at[j].max(hit.astype(matched.dtype))
+            return matched, hit.astype(jnp.float32)
+
+        _, tp_ordered = jax.lax.scan(body, jnp.zeros(m), order_i)
+        # back to grid order so tp aligns with scores
+        inv = jnp.zeros_like(order_i).at[order_i].set(
+            jnp.arange(order_i.shape[0]))
+        return tp_ordered[inv]
+
+    tp = jax.vmap(per_image)(ious, order, gt_valid.astype(jnp.float32))
+    return scores, tp, jnp.sum(gt_valid, axis=1)
+
+
+def average_precision(scores, tp, n_gt) -> float:
+    """Dataset-level AP from pooled ``match_predictions`` outputs: sort all
+    predictions by score, build the precision/recall curve, and integrate
+    with all-point interpolation (Pascal VOC 2010+). Host-side numpy."""
+    scores = np.asarray(scores).reshape(-1)
+    tp = np.asarray(tp).reshape(-1)
+    total_gt = float(np.sum(np.asarray(n_gt)))
+    if total_gt == 0:
+        return 0.0
+    order = np.argsort(-scores)
+    tp = tp[order]
+    cum_tp = np.cumsum(tp)
+    cum_fp = np.cumsum(1.0 - tp)
+    recall = cum_tp / total_gt
+    precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-9)
+    # envelope: precision at recall r = max precision at recall >= r
+    precision = np.maximum.accumulate(precision[::-1])[::-1]
+    # integrate over recall deltas
+    recall = np.concatenate([[0.0], recall])
+    return float(np.sum((recall[1:] - recall[:-1]) * precision))

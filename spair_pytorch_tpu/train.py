@@ -36,7 +36,7 @@ from spair_pytorch_tpu.utils.logging import MetricWriter
 
 def make_data(cfg: SpairConfig, hdf5: Optional[str] = None,
               max_objects: Optional[int] = None, seed: int = 0,
-              source: str = "device"):
+              source: str = "device", digits: str = "auto"):
     if max_objects is None:
         max_objects = cfg.max_scene_objects
     if hdf5:
@@ -51,10 +51,13 @@ def make_data(cfg: SpairConfig, hdf5: Optional[str] = None,
     dcfg = DataConfig(image_hw=(ih, iw), patch_hw=patch,
                       min_objects=cfg.min_scene_objects,
                       max_objects=max_objects, channels=cfg.n_channels)
+    from spair_pytorch_tpu.data import digit_bank
+    bank = digit_bank(digits, patch)
     if source == "native":
         from spair_pytorch_tpu.data.native import NativeScatteredDigits
-        return NativeScatteredDigits(dcfg, cfg.batch_size, seed=seed)
-    return OnDeviceScatteredDigits(dcfg, cfg.batch_size, seed=seed)
+        return NativeScatteredDigits(dcfg, cfg.batch_size, bank=bank,
+                                     seed=seed)
+    return OnDeviceScatteredDigits(dcfg, cfg.batch_size, bank=bank, seed=seed)
 
 
 def train(cfg: SpairConfig,
@@ -70,7 +73,8 @@ def train(cfg: SpairConfig,
           log_flush_every: int = 25,
           halt_on_nan: bool = True,
           resume: bool = True,
-          verbose: bool = True):
+          verbose: bool = True,
+          digits: str = "auto"):
     if logdir is None:
         # run-dir naming in the spirit of reference train.py:19-20
         stamp = datetime.datetime.now().strftime("%b-%d-%H%M%S")
@@ -99,19 +103,23 @@ def train(cfg: SpairConfig,
     fused = hdf5 is None and data_source == "device"
     if fused:
         import jax.numpy as jnp
-        from spair_pytorch_tpu.data import DataConfig, glyph_bank
+        from spair_pytorch_tpu.data import (DataConfig, digit_bank,
+                                            resolve_source)
         _, ih, iw = cfg.image_shape
         patch = (14, 14) if ih >= 64 else (10, 10)
         dcfg = DataConfig(image_hw=(ih, iw), patch_hw=patch,
                           min_objects=cfg.min_scene_objects,
                           max_objects=cfg.max_scene_objects,
                           channels=cfg.n_channels)
-        bank = jnp.asarray(glyph_bank(patch))
+        src = resolve_source(digits)
+        if verbose:
+            print(f"digit source: {src}")
+        bank = jnp.asarray(digit_bank(src, patch))
         step_fn = make_train_step(cfg, mesh, datagen=(dcfg, bank))
         data = None
     else:
         step_fn = make_train_step(cfg, mesh, with_detection=True)
-        data = iter(make_data(cfg, hdf5, source=data_source))
+        data = iter(make_data(cfg, hdf5, source=data_source, digits=digits))
     eval_forward = jax.jit(
         lambda p, xx, s, r: forward(p, cfg, xx, s, r)[1])
     viz_data = None
@@ -163,7 +171,7 @@ def train(cfg: SpairConfig,
             if viz_data is None:
                 viz_data = iter(make_data(cfg, hdf5, seed=4242,
                                           source="device" if fused
-                                          else data_source))
+                                          else data_source, digits=digits))
             x = next(viz_data)[0]
             aux = eval_forward(state.params, x, state.step, state.rng)
 
@@ -220,6 +228,11 @@ def main(argv=None):
                    help="data-parallel over all visible devices")
     p.add_argument("--data", default="device", choices=["device", "native"],
                    help="on-device jitted generator or native C++ pipeline")
+    p.add_argument("--digits", default="auto",
+                   choices=["auto", "mnist", "sklearn", "font"],
+                   help="digit patch source: local MNIST idx files, "
+                        "sklearn's real handwritten digits, or the "
+                        "procedural font (auto = best available)")
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--grad-clip", type=float, default=None,
                    help="global-norm gradient clipping (0/unset = off)")
@@ -238,7 +251,7 @@ def main(argv=None):
     cfg = PRESETS[args.preset](**overrides)
     train(cfg, steps=args.steps, logdir=args.logdir, hdf5=args.hdf5,
           data_source=args.data, use_mesh=args.mesh,
-          resume=not args.no_resume)
+          resume=not args.no_resume, digits=args.digits)
 
 
 if __name__ == "__main__":
