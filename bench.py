@@ -25,11 +25,16 @@ REFERENCE_BASELINE_IPS = 0.445
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--steps", type=int, default=15)
     p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--repeats", type=int, default=3,
+    p.add_argument("--repeats", type=int, default=12,
                    help="timing blocks; the fastest is reported (the "
-                        "tunneled TPU link has multi-ms latency windows)")
+                        "tunneled TPU link has multi-MINUTE degraded "
+                        "windows where every step runs ~30x slow, so "
+                        "blocks are spread over time with --block-sleep)")
+    p.add_argument("--block-sleep", type=float, default=8.0,
+                   help="seconds between timing blocks (time diversity "
+                        "against tunnel latency windows)")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--mode", default="wavefront",
                    choices=["independent", "raster", "wavefront"])
@@ -44,7 +49,7 @@ def main():
     import jax
 
     from spair_pytorch_tpu.config import paper_config
-    from spair_pytorch_tpu.data import DataConfig, generate_batch, glyph_bank
+    from spair_pytorch_tpu.data import DataConfig, glyph_bank
     from spair_pytorch_tpu.parallel import create_train_state, make_train_step
 
     overrides = dict(batch_size=args.batch, inference_mode=args.mode,
@@ -53,29 +58,26 @@ def main():
         overrides["render_backend"] = args.render
     cfg = paper_config(**overrides)
 
-    state = create_train_state(cfg)
-    step_fn = make_train_step(cfg)
-
     import jax.numpy as jnp
     bank = jnp.asarray(glyph_bank((14, 14)))
     dcfg = DataConfig(image_hw=cfg.image_shape[1:], max_objects=6)
-    key = jax.random.PRNGKey(0)
 
-    def batch(i):
-        return generate_batch(jax.random.fold_in(key, i), bank,
-                              cfg.batch_size, dcfg)[0]
+    # Fused step: on-device scene generation + train step in ONE dispatch
+    # (BASELINE config 5; same arrangement as the training driver).
+    state = create_train_state(cfg)
+    step_fn = make_train_step(cfg, datagen=(dcfg, bank))
 
-    for i in range(args.warmup):
-        state, metrics = step_fn(state, batch(i))
+    for _ in range(args.warmup):
+        state, metrics = step_fn(state)
     jax.block_until_ready(metrics)
 
     times = []
-    k = args.warmup
-    for _ in range(max(1, args.repeats)):
+    for r in range(max(1, args.repeats)):
+        if r and args.block_sleep:
+            time.sleep(args.block_sleep)
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            state, metrics = step_fn(state, batch(k))
-            k += 1
+            state, metrics = step_fn(state)
         jax.block_until_ready(metrics)
         times.append(time.perf_counter() - t0)
 

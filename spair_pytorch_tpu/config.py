@@ -135,6 +135,12 @@ class SpairConfig:
     # mathematically identical, different float rounding; the sequential
     # scan stays the fidelity default.
     count_prior_parallel: bool = False
+    # Unroll factor for the sequential lax.scan loops (wavefront/raster
+    # inference and the sequential count-prior KL). Identical math; >1
+    # amortizes per-iteration while-loop overhead (the dominant device-time
+    # cost at batch 32) across unrolled bodies in both the forward and the
+    # transposed backward scan.
+    scan_unroll: int = 1
     # Object-chunk size for the XLA compositor scan.
     render_chunk: int = 16
     # Emulate the reference's discarded Self_Attn call (models.py:120):

@@ -83,7 +83,7 @@ def count_prior_kl(z_pres_prob, z_pres, step, cfg: SpairConfig):
 
     init = (count_dist, jnp.zeros((b, 1)))
     xs = (probs, samples, jnp.arange(hw, dtype=jnp.float32))
-    _, kls = jax.lax.scan(body, init, xs)  # (HW, B)
+    _, kls = jax.lax.scan(body, init, xs, unroll=cfg.scan_unroll)  # (HW, B)
     return kls.T.reshape(b, gh, gw, 1)
 
 

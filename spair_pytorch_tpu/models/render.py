@@ -39,12 +39,17 @@ from spair_pytorch_tpu.ops.stn import paste_weights
 
 
 def decode_objects(params, cfg: SpairConfig, z_attr, z_pres, z_depth,
-                   dtype=None):
+                   dtype=None, logit_tap=None):
     """z_attr (B, N, A) -> (color, alpha, importance), each (B, N, ·, oh, ow).
 
     Matches reference models.py:474-504: logits scaled (color x2.0,
     alpha x0.1 + 5.0), analytical sigmoid, alpha gated by z_pres,
     importance = clamp(alpha * depth, min=0.01).
+
+    ``logit_tap``: optional zeros of shape (B, N, oh, ow, C+1) added to the
+    scaled/biased logits — differentiating w.r.t. it yields the gradient at
+    exactly the tensor the reference's ``decoder_output_grad_hook`` watched
+    (models.py:490), without backward hooks (utils/debug.py).
     """
     c = cfg.n_channels
     oh, ow = cfg.object_shape
@@ -59,6 +64,9 @@ def decode_objects(params, cfg: SpairConfig, z_attr, z_pres, z_depth,
     color_logits = logits[..., :c] * cfg.obj_logit_scale
     alpha_logits = (logits[..., c:] * cfg.alpha_logit_scale
                     + cfg.alpha_logit_bias)
+    if logit_tap is not None:
+        color_logits = color_logits + logit_tap[..., :c]
+        alpha_logits = alpha_logits + logit_tap[..., c:]
     color = clamped_sigmoid(color_logits, use_analytical=True)
     alpha = clamped_sigmoid(alpha_logits, use_analytical=True)
 

@@ -278,7 +278,7 @@ def _scan_inference(params, cfg, geom, x, feat_flat, noise_flat, tw, dtype,
         board = board.at[:, step_xs["write_idx"]].set(out["context_vec"])
         return board, out
 
-    _, ys = jax.lax.scan(body, board0, xs)
+    _, ys = jax.lax.scan(body, board0, xs, unroll=cfg.scan_unroll)
 
     perm = jnp.asarray(sched["perm"])
 

@@ -82,6 +82,8 @@ def make_train_step(cfg: SpairConfig, mesh: Optional[Mesh] = None,
                                opt_state=opt_state, rng=rng)
         metrics = dict(aux["losses"])
         metrics["training_wheel"] = aux["training_wheel"]
+        from spair_pytorch_tpu.utils.debug import grad_norms_by_head
+        metrics.update(grad_norms_by_head(grads))
         if gt_bbox is not None:
             from spair_pytorch_tpu import metrics as metric
             img_size = cfg.image_shape[-1]

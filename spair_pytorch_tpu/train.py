@@ -123,6 +123,7 @@ def train(cfg: SpairConfig,
     eval_forward = jax.jit(
         lambda p, xx, s, r: forward(p, cfg, xx, s, r)[1])
     viz_data = None
+    viz_extras_fn = None
 
     t_last = time.perf_counter()
     images_done = 0
@@ -182,15 +183,60 @@ def train(cfg: SpairConfig,
         # renderer-analysis panel cadence: reference debug_tools plots every
         # 50 steps (debug_tools.py:56)
         if log_figures_every and it % log_figures_every == 0:
-            from spair_pytorch_tpu.utils.viz import render_analysis_figure
-            host_aux = jax.device_get(
-                {k: aux[k] for k in ("recon", "z_where", "z_pres",
-                                     "z_depth")})
-            fig = render_analysis_figure(np.asarray(x), host_aux["recon"],
-                                         host_aux["z_where"],
-                                         host_aux["z_pres"],
-                                         host_aux["z_depth"])
-            writer.figure(it, "analysis/renderer", fig)
+            from spair_pytorch_tpu.utils import viz
+            if viz_extras_fn is None:
+                from spair_pytorch_tpu.models.render import decode_objects
+                from spair_pytorch_tpu.ops.stn import crop_glimpses
+                from spair_pytorch_tpu.utils.debug import (
+                    generative_grad_views)
+                import jax.numpy as jnp
+
+                @jax.jit
+                def viz_extras_fn(params, xx, a):
+                    b, _, gh, gw = a["z_pres"].shape
+
+                    def flat(t):  # NCHW grid -> (B, N, D)
+                        return jnp.transpose(t, (0, 2, 3, 1)).reshape(
+                            b, gh * gw, -1)
+
+                    color, alpha, imp = decode_objects(
+                        params, cfg, flat(a["z_attr"]), flat(a["z_pres"]),
+                        flat(a["z_depth"]))
+                    glimpses = crop_glimpses(xx, flat(a["z_where"]),
+                                             cfg.object_shape)
+                    dec_grad, attr_grad = generative_grad_views(
+                        params, cfg, xx, a["z_attr"], a["z_where"],
+                        a["z_depth"], a["z_pres"])
+                    return dict(color=color, alpha=alpha, importance=imp,
+                                glimpses=glimpses, dec_grad=dec_grad,
+                                attr_grad=attr_grad)
+
+            lat = {k: aux[k] for k in ("z_attr", "z_where", "z_pres",
+                                       "z_depth")}
+            host_aux, ex = jax.device_get(
+                (dict(lat, recon=aux["recon"]),
+                 viz_extras_fn(state.params, x, lat)))
+            xnp = np.asarray(x)
+            writer.figure(it, "analysis/renderer",
+                          viz.render_analysis_figure(
+                              xnp, host_aux["recon"], host_aux["z_where"],
+                              host_aux["z_pres"], host_aux["z_depth"]))
+            # the reference's full debug surface, its tag names
+            # (debug_tools.py:104,129,153,218,243)
+            writer.figure(it, "renderer_analysis",
+                          viz.prerender_components_figure(
+                              ex["color"], ex["alpha"], ex["importance"],
+                              host_aux["z_where"], host_aux["z_pres"],
+                              host_aux["z_depth"], xnp))
+            writer.figure(it, "debug_cropped_input_images",
+                          viz.glimpse_grid_figure(ex["glimpses"]))
+            writer.figure(it, "z_attr/heatmap",
+                          viz.attr_stats_figure(host_aux["z_attr"]))
+            gh_gw = host_aux["z_pres"].shape[-2:]
+            writer.figure(it, "grad_visualization/decoder_out",
+                          viz.decoder_grad_figure(ex["dec_grad"], gh_gw))
+            writer.figure(it, "grad_visualization/z_attr",
+                          viz.attr_stats_figure(ex["attr_grad"]))
             # reference _debug_logging tags (models.py:565-604)
             writer.latent_stats(it, host_aux["z_where"], host_aux["z_pres"],
                                 host_aux["z_depth"])
