@@ -141,6 +141,11 @@ class SpairConfig:
     # cost at batch 32) across unrolled bodies in both the forward and the
     # transposed backward scan.
     scan_unroll: int = 1
+    # Rematerialize the inference-scan body: the backward scan then stores
+    # only per-step inputs/outputs and replays the (FLOP-trivial) body,
+    # instead of stacking every intermediate — at batch 32 the scans are
+    # residual-traffic-bound, not compute-bound. Identical math.
+    scan_remat: bool = True
     # Object-chunk size for the XLA compositor scan.
     render_chunk: int = 16
     # Emulate the reference's discarded Self_Attn call (models.py:120):

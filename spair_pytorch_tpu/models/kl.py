@@ -55,12 +55,19 @@ def count_prior_kl(z_pres_prob, z_pres, step, cfg: SpairConfig):
     count_dist = count_dist / jnp.sum(count_dist)
     count_dist = jnp.broadcast_to(count_dist, (b, hw + 1))
 
-    probs = z_pres_prob.reshape(b, hw).T  # (HW, B) raster order
-    samples = jnp.round(z_pres.reshape(b, hw).T)
+    probs = z_pres_prob.reshape(b, hw)  # (B, HW) raster order
+    # Every input of the scan below is round()-gated: the count updates use
+    # ROUNDED samples (reference models.py:232) and round() carries zero
+    # gradient, so p_z has IDENTICALLY ZERO parameter gradient (same
+    # argument as count_prior_kl_parallel). Computing the chain under
+    # stop_gradient is therefore value- AND gradient-identical to the
+    # reference — and it deletes the scan's backward while-loop, one of the
+    # four sequential loops that dominate device time at small batch.
+    samples = jax.lax.stop_gradient(jnp.round(z_pres.reshape(b, hw).T))
 
     def body(carry, xs):
         count_dist, count_so_far = carry
-        prob, sample, i = xs
+        sample, i = xs
         remaining = hw - i
         p_z_given_c = jnp.clip(support[None, :] - count_so_far,
                                0.0, remaining) / remaining
@@ -71,7 +78,6 @@ def count_prior_kl(z_pres_prob, z_pres, step, cfg: SpairConfig):
         # of a real run; the reference has the same latent hazard, which its
         # nan_hunter would merely report). Clipping is value-identical.
         p_z = jnp.clip(jnp.sum(count_dist * p_z_given_c, axis=-1), 0.0, 1.0)
-        kl = bernoulli_kl(prob, p_z)
         mult = (sample[:, None] * p_z_given_c
                 + (1.0 - sample[:, None]) * (1.0 - p_z_given_c))
         new_dist = mult * count_dist
@@ -79,12 +85,13 @@ def count_prior_kl(z_pres_prob, z_pres, step, cfg: SpairConfig):
                               1e-6, None)
         new_dist = new_dist / normalizer
         count_so_far = count_so_far + sample[:, None]
-        return (new_dist, count_so_far), kl
+        return (new_dist, count_so_far), p_z
 
     init = (count_dist, jnp.zeros((b, 1)))
-    xs = (probs, samples, jnp.arange(hw, dtype=jnp.float32))
-    _, kls = jax.lax.scan(body, init, xs, unroll=cfg.scan_unroll)  # (HW, B)
-    return kls.T.reshape(b, gh, gw, 1)
+    xs = (samples, jnp.arange(hw, dtype=jnp.float32))
+    _, p_zs = jax.lax.scan(body, init, xs, unroll=cfg.scan_unroll)  # (HW, B)
+    kls = bernoulli_kl(probs, p_zs.T)  # vectorized; grads flow via probs only
+    return kls.reshape(b, gh, gw, 1)
 
 
 def count_prior_kl_parallel(z_pres_prob, z_pres, step, cfg: SpairConfig):

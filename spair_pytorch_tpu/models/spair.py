@@ -251,42 +251,82 @@ def forward(params, cfg: SpairConfig, x, step, rng, noise=None):
     return loss, aux
 
 
+_NOISE_ORDER = ("box", "attr", "depth", "pres_noise")
+
+
 def _scan_inference(params, cfg, geom, x, feat_flat, noise_flat, tw, dtype,
                     b, gh, gw):
-    """Sequential lateral-context inference as a lax.scan over cell groups."""
+    """Sequential lateral-context inference as a lax.scan over cell groups.
+
+    Three per-iteration overhead cuts (the scan is dispatch-bound, not
+    FLOP-bound, at small batch — docs/NEXT.md round-1 profiling):
+      * features and noise are gathered for ALL steps up front (one big
+        parallel gather each) and fed as scan xs instead of re-gathered
+        inside every iteration;
+      * the ~19 per-step output tensors are packed into ONE concatenated
+        (B, K, D_total) tensor so the scan stacks a single array per step
+        (one dynamic-update-slice instead of nineteen), split afterwards;
+      * optionally (cfg.scan_remat) the body is rematerialized so the
+        backward pass stores only per-step inputs/outputs instead of every
+        intermediate — the body's FLOPs are trivial, its residual traffic
+        is not.
+    """
     sched = inference_schedule(cfg.inference_mode, gh, gw,
                                cfg.n_lookback)
     board0 = jnp.broadcast_to(params["edge"],
                               (b, sched["board_size"] + 1,
                                cfg.context_elem_dim))
+    s, k = sched["steps"], sched["lanes"]
 
-    xs = dict(cell_idx=jnp.asarray(sched["cell_idx"]),
+    flat_idx = jnp.asarray(sched["cell_idx"].reshape(-1))  # (S*K,)
+
+    def pregather(t):  # (B, N, D) -> (S, B, K, D)
+        g = jnp.take(t, flat_idx, axis=1).reshape(b, s, k, t.shape[-1])
+        return jnp.swapaxes(g, 0, 1)
+
+    noise_packed = pregather(jnp.concatenate(
+        [noise_flat[n] for n in _NOISE_ORDER], axis=-1))
+    noise_widths = [noise_flat[n].shape[-1] for n in _NOISE_ORDER]
+
+    xs = dict(feats=pregather(feat_flat),
+              noise=noise_packed,
               cell_hw=jnp.asarray(sched["cell_hw"]),
               nbr_idx=jnp.asarray(sched["nbr_idx"]),
               write_idx=jnp.asarray(sched["write_idx"]))
-    k = sched["lanes"]
+
+    # Output packing layout, derived once by abstract evaluation (no FLOPs).
+    out_shapes = jax.eval_shape(
+        lambda f, c, nz, hw: cell_step(params, cfg, geom, x, f, c, nz, hw,
+                                       tw, dtype),
+        xs["feats"][0], jax.ShapeDtypeStruct((b, k, cfg.context_dim),
+                                             jnp.float32),
+        {n: jax.ShapeDtypeStruct((b, k, w), jnp.float32)
+         for n, w in zip(_NOISE_ORDER, noise_widths)},
+        xs["cell_hw"][0])
+    out_leaves, out_treedef = jax.tree_util.tree_flatten(out_shapes)
+    out_widths = [l.shape[-1] for l in out_leaves]
 
     def body(board, step_xs):
-        idx = step_xs["cell_idx"]  # (K,)
-        feats = jnp.take(feat_flat, idx, axis=1)  # (B, K, F)
-        noise_k = {name: jnp.take(v, idx, axis=1)
-                   for name, v in noise_flat.items()}
+        nz = dict(zip(_NOISE_ORDER,
+                      jnp.split(step_xs["noise"],
+                                np.cumsum(noise_widths)[:-1], axis=-1)))
         ctx = jnp.take(board, step_xs["nbr_idx"].reshape(-1), axis=1)
         ctx = ctx.reshape(b, k, cfg.context_dim)
-        out = cell_step(params, cfg, geom, x, feats, ctx, noise_k,
+        out = cell_step(params, cfg, geom, x, step_xs["feats"], ctx, nz,
                         step_xs["cell_hw"], tw, dtype)
         board = board.at[:, step_xs["write_idx"]].set(out["context_vec"])
-        return board, out
+        packed = jnp.concatenate(jax.tree_util.tree_leaves(out), axis=-1)
+        return board, packed
 
+    if cfg.scan_remat:
+        body = jax.checkpoint(body)
     _, ys = jax.lax.scan(body, board0, xs, unroll=cfg.scan_unroll)
 
     perm = jnp.asarray(sched["perm"])
-
-    def unpack(t):  # (S, B, K, D) -> (B, N, D)
-        t = jnp.swapaxes(t, 0, 1).reshape(b, sched["steps"] * k, t.shape[-1])
-        return jnp.take(t, perm, axis=1)
-
-    return jax.tree_util.tree_map(unpack, ys)
+    ys = jnp.take(jnp.swapaxes(ys, 0, 1).reshape(b, s * k, ys.shape[-1]),
+                  perm, axis=1)  # (B, N, D_total) in raster order
+    leaves = jnp.split(ys, np.cumsum(out_widths)[:-1], axis=-1)
+    return jax.tree_util.tree_unflatten(out_treedef, leaves)
 
 
 def loss_and_metrics(x, recon, kls: Dict, cfg: SpairConfig):
