@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from spair_pytorch_tpu.config import SpairConfig
 from spair_pytorch_tpu.ops.math import clamped_sigmoid
@@ -204,6 +205,24 @@ def composite_ordered(color, alpha, z_depth_flat, z_where, image_hw,
     return img
 
 
+def paste_window_rows(cfg: SpairConfig, image_hw):
+    """Static paste-window height for the Pallas compositor.
+
+    An object's normalized height is ys = h * anchor_h / img_h with
+    h <= cfg.max_hw (clamped_sigmoid <= 1 exactly). The hat weights are
+    nonzero for source coords in (-1, oh), i.e. over ys * (1 + 2/(oh-1))
+    of the normalized canvas, so the support spans at most
+    ceil(max_ys * k * (H-1)) + 2 rows (k the overhang factor); +8 covers
+    the 8-aligned window-start rounding. Exact coverage, asserted against
+    the XLA compositor in tests/test_pallas_composite.py."""
+    ih = image_hw[0]
+    oh = cfg.object_shape[0]
+    max_ys = cfg.max_hw * cfg.anchor_shape[0] / cfg.image_shape[1]
+    k = 1.0 + 2.0 / (oh - 1)
+    span = int(np.ceil(max_ys * k * (ih - 1))) + 2
+    return min(ih, -(-(span + 7) // 8) * 8)
+
+
 def render(params, cfg: SpairConfig, z_attr, z_where, z_depth, z_pres,
            image_hw, dtype=None):
     """Latent grids (B, gh, gw, ·) -> reconstruction (B, C, H, W) in [0, 1].
@@ -222,12 +241,10 @@ def render(params, cfg: SpairConfig, z_attr, z_where, z_depth, z_pres,
         out = composite_ordered(color, alpha, flat(z_depth), boxes,
                                 image_hw, cfg.render_chunk)
         return jnp.clip(out, 0.0, 1.0)
-    # the Pallas kernel is grayscale-only (ops/pallas/composite.py); route
-    # multi-channel configs to the XLA path instead of tripping the kernel's
-    # c==1 assert (which -O strips, silently dropping channels).
-    if cfg.render_backend == "pallas" and cfg.n_channels == 1:
+    if cfg.render_backend == "pallas":
         from spair_pytorch_tpu.ops.pallas.composite import composite_pallas
-        num, den = composite_pallas(color, alpha, importance, boxes, image_hw)
+        num, den = composite_pallas(color, alpha, importance, boxes, image_hw,
+                                    paste_window_rows(cfg, image_hw))
     else:
         num, den = composite_xla(color, alpha, importance, boxes, image_hw,
                                  cfg.render_chunk)

@@ -1,25 +1,36 @@
-"""Fused paste-and-composite TPU kernel (Pallas).
+"""Fused paste-and-composite TPU kernel (Pallas), v2: windowed + full VJP.
 
 The hot generative path: paste B x N decoded glimpses onto canvases and
 accumulate the importance-weighted composite (reference semantics:
 models.py:515-537) WITHOUT materializing any per-object canvas. The XLA
 fallback (models/render.py:composite_xla) scans over object chunks, writing
-(B, chunk, 3, H, W) intermediates to HBM each step; this kernel keeps the
-entire per-image working set — all N glimpses (~1.1 MB), the interpolation
-matrices, and the (H, W) accumulators — resident in VMEM, and runs the
-separable-paste matmuls on the MXU:
+(B, chunk, C+2, H, W) intermediates to HBM each step; this kernel keeps the
+whole working set in VMEM and runs the separable-paste matmuls on the MXU.
 
-    per object o:   T   = Py_o @ G_o            (H, oh) @ (oh, 3*ow)
-                    P_c = T[:, c, :] @ Px_o^T   (H, ow) @ (ow, W)
-                    num += P_alpha * P_color * (P_imp + 1e-9)
-                    den += (P_imp + 1e-9)
+v2 over v1 (which lost to its own XLA fallback by ~1.4x):
 
-Grid: one program per batch element. Gradients flow through a custom VJP
-whose backward differentiates the (mathematically identical) XLA compositor
-— the forward is where the HBM-traffic win lives.
+  * WINDOWED pastes: an object's paste support spans at most
+    ceil(max_ys * (1 + 2/(oh-1)) * (H-1)) + 2 canvas rows (hat weights
+    vanish outside the box plus a one-glimpse-pixel overhang), so each
+    object touches only a static WIN-row
+    window starting at an 8-aligned dynamic offset — halving both the
+    matmul M dimension and the accumulate traffic at the paper config
+    (WIN = 64 vs H = 128). Exact, not approximate: out-of-window weights
+    are identically zero, and the window start is clamped so the support's
+    intersection with the canvas is always covered.
+  * multi-channel (C >= 1): channel planes ride the packed lane axis.
+  * a REAL Pallas backward: recomputes the per-object planes (they are
+    cheap), forms the plane cotangents in the window, and contracts back
+    to glimpse + interpolation-matrix gradients on the MXU, including the
+    analytic hat-weight derivatives for the box gradients — no more
+    delegating to the XLA compositor's VJP.
+  * the per-object `+ 1e-9` importance floor is accumulated as a single
+    n * 1e-9 constant added to `den` at initialization (identical math).
 
-Currently specialized to single-channel images (the reference's scattered-
-MNIST case); render.py falls back to the XLA path for C > 1.
+Grid: one program per batch element; the object loop is a fori_loop whose
+per-iteration cost is two weight builds, 1 + C + 1 small matmuls and a
+windowed multiply-accumulate. Interpret mode on CPU keeps the kernel
+testable in CI without hardware.
 """
 
 from __future__ import annotations
@@ -31,65 +42,171 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _paste_matrix(t, s, out_size: int, in_size: int):
-    """(out_size, in_size) hat-function interpolation weights for the
-    inverse STN (zeros padding): ops/stn.py semantics, built on the VPU.
-    tpu.iota only produces integers — build int32 and cast."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(
-        jnp.float32)
-    a = jax.lax.broadcasted_iota(jnp.int32, (out_size, in_size), 1).astype(
-        jnp.float32)
-    u_out = 2.0 * i / (out_size - 1) - 1.0
-    src = ((u_out - (2.0 * t - 1.0)) / s + 1.0) * (in_size - 1) / 2.0
-    return jnp.maximum(0.0, 1.0 - jnp.abs(src - a))
+_EPS = 1e-9
 
 
-def _composite_kernel(boxes_ref, glimpse_ref, num_ref, den_ref, *,
-                      n_objects: int, oh: int, ow: int, ih: int, iw: int):
-    num_acc = jnp.zeros((ih, iw), jnp.float32)
-    den_acc = jnp.zeros((ih, iw), jnp.float32)
-
-    def body(o, carry):
-        num_acc, den_acc = carry
-        xt = boxes_ref[o, 0]
-        yt = boxes_ref[o, 1]
-        xs = boxes_ref[o, 2]
-        ys = boxes_ref[o, 3]
-        py = _paste_matrix(yt, ys, ih, oh)            # (H, oh)
-        px = _paste_matrix(xt, xs, iw, ow)            # (W, ow)
-        g = glimpse_ref[0, o]                         # (oh, 3*ow)
-        t = jnp.dot(py, g, preferred_element_type=jnp.float32)  # (H, 3*ow)
-        col = jnp.dot(t[:, 0 * ow:1 * ow], px.T,
-                      preferred_element_type=jnp.float32)       # (H, W)
-        alp = jnp.dot(t[:, 1 * ow:2 * ow], px.T,
-                      preferred_element_type=jnp.float32)
-        imp = jnp.dot(t[:, 2 * ow:3 * ow], px.T,
-                      preferred_element_type=jnp.float32) + 1e-9
-        return num_acc + alp * col * imp, den_acc + imp
-
-    num_acc, den_acc = jax.lax.fori_loop(0, n_objects, body,
-                                         (num_acc, den_acc))
-    num_ref[0, 0] = num_acc
-    den_ref[0, 0] = den_acc
+def _row_coords(y0, win: int, ih: int, t, s, oh: int):
+    """Glimpse source coordinate for canvas rows [y0, y0+win) and the
+    (win, oh) hat weights. Returns (src (win, 1), py (win, oh))."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0).astype(jnp.float32)
+    u = 2.0 * (y0.astype(jnp.float32) + r) / (ih - 1) - 1.0
+    src = ((u - (2.0 * t - 1.0)) / s + 1.0) * (oh - 1) / 2.0
+    a = jax.lax.broadcasted_iota(jnp.int32, (win, oh), 1).astype(jnp.float32)
+    return src, jnp.maximum(0.0, 1.0 - jnp.abs(src - a))
 
 
-def _composite_pallas_fwd_impl(color, alpha, importance, boxes, image_hw):
+def _col_coords(iw: int, t, s, ow: int):
+    """Canvas-column source coords + (ow, iw) transposed hat weights."""
+    x = jax.lax.broadcasted_iota(jnp.int32, (ow, iw), 1).astype(jnp.float32)
+    u = 2.0 * x / (iw - 1) - 1.0
+    src = ((u - (2.0 * t - 1.0)) / s + 1.0) * (ow - 1) / 2.0
+    a = jax.lax.broadcasted_iota(jnp.int32, (ow, iw), 0).astype(jnp.float32)
+    return src, jnp.maximum(0.0, 1.0 - jnp.abs(src - a))
+
+
+def _window_start(yt, ys, ih: int, win: int, oh: int):
+    """8-aligned dynamic start row of the (static-size) paste window.
+
+    The hat weights are nonzero for source coords in (-1, oh), i.e. canvas
+    rows with u in (2t-1) ± s*(1 + 2/(oh-1)) — the ±2/(oh-1) overhang
+    beyond the box proper must be included or edge rows are dropped."""
+    k = 1.0 + 2.0 / (oh - 1)
+    lo = jnp.floor((yt - ys * (k * 0.5)) * (ih - 1)).astype(jnp.int32)
+    lo = (lo // 8) * 8
+    return jnp.clip(lo, 0, ih - win)
+
+
+def _fwd_kernel(boxes_ref, g_ref, num_ref, den_ref, *, n: int, c: int,
+                oh: int, ow: int, ih: int, iw: int, win: int):
+    nc = c + 2
+    num_ref[...] = jnp.zeros(num_ref.shape, jnp.float32)
+    # every one of the n objects contributes +1e-9 to den everywhere
+    # (reference models.py:527); fold the constant in once.
+    den_ref[...] = jnp.full(den_ref.shape, n * _EPS, jnp.float32)
+
+    def body(o, _):
+        xt, yt = boxes_ref[o, 0], boxes_ref[o, 1]
+        xs, ys = boxes_ref[o, 2], boxes_ref[o, 3]
+        y0 = _window_start(yt, ys, ih, win, oh)
+        _, py = _row_coords(y0, win, ih, yt, ys, oh)     # (win, oh)
+        _, pxt = _col_coords(iw, xt, xs, ow)             # (ow, iw)
+        g = g_ref[0, o]                                  # (oh, nc*ow)
+        t = jnp.dot(py, g, preferred_element_type=jnp.float32)  # (win, nc*ow)
+
+        planes = [jnp.dot(t[:, k * ow:(k + 1) * ow], pxt,
+                          preferred_element_type=jnp.float32)
+                  for k in range(nc)]                    # each (win, iw)
+        alp, imp = planes[c], planes[c + 1]
+        impe = imp + _EPS
+        for k in range(c):
+            num_ref[0, k, pl.ds(y0, win), :] += alp * planes[k] * impe
+        den_ref[0, 0, pl.ds(y0, win), :] += imp
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _bwd_kernel(boxes_ref, g_ref, dnum_ref, dden_ref, dg_ref, dbox_ref, *,
+                n: int, c: int, oh: int, ow: int, ih: int, iw: int,
+                win: int):
+    nc = c + 2
+
+    def body(o, _):
+        xt, yt = boxes_ref[o, 0], boxes_ref[o, 1]
+        xs, ys = boxes_ref[o, 2], boxes_ref[o, 3]
+        y0 = _window_start(yt, ys, ih, win, oh)
+        src_y, py = _row_coords(y0, win, ih, yt, ys, oh)
+        src_x, pxt = _col_coords(iw, xt, xs, ow)
+        g = g_ref[0, o]
+        t = jnp.dot(py, g, preferred_element_type=jnp.float32)
+        planes = [jnp.dot(t[:, k * ow:(k + 1) * ow], pxt,
+                          preferred_element_type=jnp.float32)
+                  for k in range(nc)]
+        alp, imp = planes[c], planes[c + 1]
+        impe = imp + _EPS
+
+        dden = dden_ref[0, 0, pl.ds(y0, win), :]
+        dnums = [dnum_ref[0, k, pl.ds(y0, win), :] for k in range(c)]
+        # plane cotangents (window only — outside, every factor is zero)
+        dplanes = [dnums[k] * alp * impe for k in range(c)]
+        dalp = sum(dnums[k] * planes[k] * impe for k in range(c))
+        dimp = sum(dnums[k] * alp * planes[k] for k in range(c)) + dden
+        dplanes = dplanes + [dalp, dimp]
+
+        # contract back through the separable paste, on the MXU:
+        #   plane_k = (py @ g_k) @ pxt
+        dpy = jnp.zeros((win, oh), jnp.float32)
+        dpxt = jnp.zeros((ow, iw), jnp.float32)
+        for k in range(nc):
+            t_k = t[:, k * ow:(k + 1) * ow]              # (win, ow)
+            # dT_k = dP_k @ pxt^T : contract canvas columns
+            dt_k = jax.lax.dot_general(
+                dplanes[k], pxt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (win, ow)
+            # dg_k = py^T @ dT_k : contract window rows
+            dg_k = jax.lax.dot_general(
+                py, dt_k, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (oh, ow)
+            dg_ref[0, o, :, k * ow:(k + 1) * ow] = dg_k
+            # dpy += dT_k @ g_k^T : contract glimpse columns
+            dpy += jax.lax.dot_general(
+                dt_k, g[:, k * ow:(k + 1) * ow], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (win, oh)
+            # dpxt += T_k^T @ dP_k : contract window rows
+            dpxt += jax.lax.dot_general(
+                t_k, dplanes[k], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (ow, iw)
+
+        # hat-weight derivatives: w = relu(1 - |src - a|) with
+        # src = ((u - (2t-1))/s + 1)(k-1)/2  =>
+        #   dw/dsrc  = -sign(src - a) where w > 0
+        #   dsrc/dt  = -(k-1)/s
+        #   dsrc/ds  = -(src - (k-1)/2) / s
+        ay = jax.lax.broadcasted_iota(jnp.int32, (win, oh), 1).astype(
+            jnp.float32)
+        live_y = (py > 0.0).astype(jnp.float32)
+        dw_dsrc_y = -jnp.sign(src_y - ay) * live_y
+        gy = jnp.sum(dpy * dw_dsrc_y)                     # d/d src (summed)
+        gys_w = jnp.sum(dpy * dw_dsrc_y * (src_y - (oh - 1) * 0.5))
+        dbox_ref[o, 1] = gy * (-(oh - 1.0) / ys)
+        dbox_ref[o, 3] = gys_w * (-1.0 / ys)
+
+        ax = jax.lax.broadcasted_iota(jnp.int32, (ow, iw), 0).astype(
+            jnp.float32)
+        live_x = (pxt > 0.0).astype(jnp.float32)
+        dw_dsrc_x = -jnp.sign(src_x - ax) * live_x
+        gx = jnp.sum(dpxt * dw_dsrc_x)
+        gxs_w = jnp.sum(dpxt * dw_dsrc_x * (src_x - (ow - 1) * 0.5))
+        dbox_ref[o, 0] = gx * (-(ow - 1.0) / xs)
+        dbox_ref[o, 2] = gxs_w * (-1.0 / xs)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _pack(color, alpha, importance):
+    """(B,N,C,oh,ow) x3 -> (B, N, oh, (C+2)*ow) channel-packed glimpses."""
+    g = jnp.concatenate([color, alpha, importance], axis=2)  # (B,N,C+2,oh,ow)
+    return jnp.moveaxis(g, 2, 3).reshape(
+        g.shape[0], g.shape[1], g.shape[3], -1)
+
+
+def _resolve_win(win_rows, ih):
+    if win_rows is None:
+        return ih
+    return max(8, min(ih, win_rows))
+
+
+def _fwd_impl(color, alpha, importance, boxes, image_hw, win_rows):
     b, n, c, oh, ow = color.shape
-    assert c == 1, "pallas compositor is specialized to grayscale"
     ih, iw = image_hw
-    # channel-packed glimpse: (B, N, oh, 3*ow) with [color | alpha | imp]
-    # along the packed axis — lets the kernel do ONE (H,oh)@(oh,3*ow)
-    # matmul per object instead of three.
-    g = jnp.concatenate([color[:, :, 0], alpha[:, :, 0], importance[:, :, 0]],
-                        axis=-1)  # (B, N, oh, 3*ow)
-    g = g.astype(jnp.float32)
+    win = _resolve_win(win_rows, ih)
+    g = _pack(color.astype(jnp.float32), alpha.astype(jnp.float32),
+              importance.astype(jnp.float32))
     boxes = boxes.astype(jnp.float32)
 
-    kernel = functools.partial(_composite_kernel, n_objects=n, oh=oh, ow=ow,
-                               ih=ih, iw=iw)
-    # interpret mode on CPU: lets the CI test suite (8 virtual CPU devices)
-    # exercise the kernel without TPU hardware.
+    kernel = functools.partial(_fwd_kernel, n=n, c=c, oh=oh, ow=ow,
+                               ih=ih, iw=iw, win=win)
     interpret = jax.default_backend() == "cpu"
     num, den = pl.pallas_call(
         kernel,
@@ -97,22 +214,24 @@ def _composite_pallas_fwd_impl(color, alpha, importance, boxes, image_hw):
         in_specs=[
             pl.BlockSpec((None, n, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n, oh, 3 * ow), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, n, oh, (c + 2) * ow), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, ih, iw), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, c, ih, iw), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ih, iw), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1, ih, iw), jnp.float32),
+            jax.ShapeDtypeStruct((b, c, ih, iw), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, ih, iw), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * (ih * oh * 3 * ow + 3 * ih * ow * iw),
-            bytes_accessed=4 * b * (n * oh * 3 * ow + 2 * ih * iw),
+            flops=2 * b * n * (win * oh * (c + 2) * ow
+                               + (c + 2) * win * ow * iw),
+            bytes_accessed=4 * b * (n * oh * (c + 2) * ow
+                                    + (c + 3) * ih * iw),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -120,31 +239,84 @@ def _composite_pallas_fwd_impl(color, alpha, importance, boxes, image_hw):
     return num, den
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def composite_pallas(color, alpha, importance, boxes, image_hw):
-    """Drop-in for composite_xla: returns (num, den), each (B, ·, H, W)."""
-    return _composite_pallas_fwd_impl(color, alpha, importance, boxes,
-                                      image_hw)
+def _bwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
+              dnum, dden):
+    b, n, c, oh, ow = color.shape
+    ih, iw = image_hw
+    win = _resolve_win(win_rows, ih)
+    g = _pack(color.astype(jnp.float32), alpha.astype(jnp.float32),
+              importance.astype(jnp.float32))
+    boxes32 = boxes.astype(jnp.float32)
+
+    kernel = functools.partial(_bwd_kernel, n=n, c=c, oh=oh, ow=ow,
+                               ih=ih, iw=iw, win=win)
+    interpret = jax.default_backend() == "cpu"
+    dg, dbox = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, n, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n, oh, (c + 2) * ow), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, ih, iw), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ih, iw), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, oh, (c + 2) * ow), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, oh, (c + 2) * ow), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 4), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * n * (win * oh * (c + 2) * ow
+                               + (c + 2) * win * ow * iw),
+            bytes_accessed=4 * b * (2 * n * oh * (c + 2) * ow
+                                    + (c + 3) * ih * iw),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(boxes32, g, dnum.astype(jnp.float32), dden.astype(jnp.float32))
+
+    # unpack dg (B, N, oh, (C+2)*ow) -> per-input gradients (B, N, C, oh, ow)
+    dg = dg.reshape(b, n, oh, c + 2, ow)
+    dg = jnp.moveaxis(dg, 3, 2)
+    dcolor = dg[:, :, :c].astype(color.dtype)
+    dalpha = dg[:, :, c:c + 1].astype(alpha.dtype)
+    dimp = dg[:, :, c + 1:].astype(importance.dtype)
+    return dcolor, dalpha, dimp, dbox.astype(boxes.dtype)
 
 
-def _fwd(color, alpha, importance, boxes, image_hw):
-    out = _composite_pallas_fwd_impl(color, alpha, importance, boxes,
-                                     image_hw)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def composite_pallas(color, alpha, importance, boxes, image_hw,
+                     win_rows=None):
+    """Drop-in for composite_xla: returns (num, den), each (B, ·, H, W).
+
+    ``win_rows``: static paste-window height (rows). Must be >= the widest
+    possible paste support, ceil(max_ys * (1 + 2/(oh-1)) * (H-1)) + 2, plus
+    7 rows of alignment slack; ``None`` disables windowing (window = full
+    height). models/render.py::paste_window_rows derives it from the
+    config's max_hw / anchor bound.
+    """
+    return _fwd_impl(color, alpha, importance, boxes, image_hw, win_rows)
+
+
+def _fwd(color, alpha, importance, boxes, image_hw, win_rows):
+    out = _fwd_impl(color, alpha, importance, boxes, image_hw, win_rows)
     return out, (color, alpha, importance, boxes)
 
 
-def _bwd(image_hw, residuals, cotangents):
-    # Backward rides the mathematically identical XLA compositor: the
-    # forward's HBM savings are what the kernel buys; the backward reuses
-    # XLA's fused scan gradients.
-    from spair_pytorch_tpu.models.render import composite_xla
+def _bwd(image_hw, win_rows, residuals, cotangents):
     color, alpha, importance, boxes = residuals
-    n = color.shape[1]
-    _, vjp = jax.vjp(
-        lambda c, a, i, bx: composite_xla(c, a, i, bx, image_hw,
-                                          chunk=min(16, n)),
-        color, alpha, importance, boxes)
-    return vjp(cotangents)
+    dnum, dden = cotangents
+    return _bwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
+                     dnum, dden)
 
 
 composite_pallas.defvjp(_fwd, _bwd)

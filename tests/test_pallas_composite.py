@@ -83,3 +83,83 @@ class TestEndToEnd:
                                    np.asarray(aux_x["recon"]),
                                    rtol=1e-5, atol=1e-5)
         assert np.isclose(float(loss_p), float(loss_x), rtol=1e-5)
+
+
+def make_inputs_c(seed, b=2, n=9, c=3, oh=14, ow=14, extreme=False):
+    rng = np.random.RandomState(seed)
+    color = rng.rand(b, n, c, oh, ow).astype("f")
+    alpha = rng.rand(b, n, 1, oh, ow).astype("f")
+    imp = rng.rand(b, n, 1, oh, ow).astype("f") + 0.01
+    if extreme:
+        # boxes straddling every edge and at the max scale the window must
+        # cover (centers can leave [0,1] in SPAIR: cell_y in [-0.5, 1.5])
+        xt = rng.uniform(-0.1, 1.1, (b, n))
+        yt = rng.uniform(-0.1, 1.1, (b, n))
+        xs = rng.uniform(0.05, 0.5, (b, n))
+        ys = np.full((b, n), 0.5, "f")  # exactly max scale
+    else:
+        xt = rng.uniform(0.1, 0.9, (b, n))
+        yt = rng.uniform(0.1, 0.9, (b, n))
+        xs = rng.uniform(0.1, 0.5, (b, n))
+        ys = rng.uniform(0.1, 0.5, (b, n))
+    boxes = np.stack([xt, yt, xs, ys], axis=-1).astype("f")
+    return map(jnp.asarray, (color, alpha, imp, boxes))
+
+
+class TestWindowedV2:
+    """v2 windowing: the static WIN-row window must cover every support."""
+
+    @pytest.mark.parametrize("seed", [0, 5])
+    def test_windowed_matches_full(self, seed):
+        color, alpha, imp, boxes = make_inputs_c(seed, c=1, extreme=True)
+        hw = (64, 64)
+        # max ys = 0.5 -> span = ceil(0.5*63)+3 = 35 -> win = 48
+        num_w, den_w = composite_pallas(color, alpha, imp, boxes, hw, 48)
+        num_x, den_x = composite_xla(color, alpha, imp, boxes, hw, chunk=4)
+        np.testing.assert_allclose(np.asarray(num_w), np.asarray(num_x),
+                                   rtol=5e-5, atol=5e-6)
+        np.testing.assert_allclose(np.asarray(den_w), np.asarray(den_x),
+                                   rtol=5e-5, atol=5e-6)
+
+    def test_multichannel(self):
+        color, alpha, imp, boxes = make_inputs_c(2, c=3)
+        hw = (48, 48)
+        num_p, den_p = composite_pallas(color, alpha, imp, boxes, hw, 40)
+        num_x, den_x = composite_xla(color, alpha, imp, boxes, hw, chunk=4)
+        assert num_p.shape == (2, 3, 48, 48)
+        np.testing.assert_allclose(np.asarray(num_p), np.asarray(num_x),
+                                   rtol=5e-5, atol=5e-6)
+        np.testing.assert_allclose(np.asarray(den_p), np.asarray(den_x),
+                                   rtol=5e-5, atol=5e-6)
+
+    def test_windowed_grads_match_xla(self):
+        color, alpha, imp, boxes = make_inputs_c(4, b=1, n=4, c=2,
+                                                 extreme=True)
+        hw = (48, 48)
+        win = 40  # ceil(0.5*47)+3 = 27 -> 32 + 8
+
+        def loss_pallas(c, a, i, bx):
+            num, den = composite_pallas(c, a, i, bx, hw, win)
+            return jnp.sum((num / den) ** 2)
+
+        def loss_xla(c, a, i, bx):
+            num, den = composite_xla(c, a, i, bx, hw, chunk=4)
+            return jnp.sum((num / den) ** 2)
+
+        g_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(color, alpha,
+                                                          imp, boxes)
+        g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(color, alpha,
+                                                       imp, boxes)
+        for a, b in zip(g_p, g_x):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=5e-4)
+
+    def test_window_rows_derivation(self):
+        from tests.test_model import tiny_config
+        from spair_pytorch_tpu.models.render import paste_window_rows
+        cfg = tiny_config()
+        win = paste_window_rows(cfg, cfg.image_shape[1:])
+        ih = cfg.image_shape[1]
+        max_ys = cfg.max_hw * cfg.anchor_shape[0] / cfg.image_shape[1]
+        assert win >= min(ih, int(np.ceil(max_ys * (ih - 1))) + 3)
+        assert win <= ih and win % 8 == 0 or win == ih
