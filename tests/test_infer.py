@@ -34,3 +34,75 @@ def test_make_detector_jit():
     # boxes are [x0,y0,x1,y1] with x1>=x0, y1>=y0
     b = np.asarray(out["boxes"])
     assert (b[..., 2] >= b[..., 0]).all() and (b[..., 3] >= b[..., 1]).all()
+
+
+def test_detector_bf16_matches_f32():
+    """Serving under bfloat16 compute: finite, and boxes within bf16
+    tolerance of the f32 detector (same params)."""
+    cfg32 = tiny_config(inference_mode="independent")
+    cfg16 = tiny_config(inference_mode="independent",
+                        compute_dtype="bfloat16")
+    params = init_params(jax.random.PRNGKey(3), cfg32)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (2, 1, 48, 48))
+    o32 = detect(params, x, cfg32)
+    o16 = detect(params, x, cfg16)
+    assert np.isfinite(np.asarray(o16["boxes"])).all()
+    assert np.isfinite(np.asarray(o16["scores"])).all()
+    # bf16 has ~3 decimal digits; boxes live in [~-50, ~100] px
+    np.testing.assert_allclose(np.asarray(o16["boxes"]),
+                               np.asarray(o32["boxes"]), atol=1.5)
+    np.testing.assert_allclose(np.asarray(o16["scores"]),
+                               np.asarray(o32["scores"]), atol=0.05)
+
+
+def test_threshold_sweep_monotone():
+    """Raising the presence threshold can only lower the count."""
+    cfg = tiny_config(inference_mode="independent")
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(6), (3, 1, 48, 48))
+    counts = [np.asarray(detect(params, x, cfg, pres_threshold=t)["count"])
+              for t in (0.1, 0.3, 0.5, 0.7, 0.9)]
+    for lo, hi in zip(counts, counts[1:]):
+        assert (hi <= lo).all()
+    # threshold 0 counts every cell
+    n_cells = counts[0].shape  # smoke: shapes consistent
+    all_cells = np.asarray(detect(params, x, cfg,
+                                  pres_threshold=0.0)["count"])
+    assert (all_cells == 16).all()
+
+
+def test_detector_matches_zeroed_noise_forward():
+    """The serving path must agree with the training forward run with
+    zeroed noise: same z_where -> same pixel boxes."""
+    from spair_pytorch_tpu.models import forward, geometry, sample_noise
+    cfg = tiny_config(inference_mode="wavefront")
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(8), (2, 1, 48, 48))
+    out = detect(params, x, cfg)
+
+    _, (gh, gw), _ = geometry(cfg)
+    noise = jax.tree_util.tree_map(
+        jnp.zeros_like, sample_noise(jax.random.PRNGKey(0), 2, (gh, gw), cfg))
+    _, aux = forward(params, cfg, x, 10 ** 6, jax.random.PRNGKey(0),
+                     noise=noise)
+    zw = np.asarray(aux["z_where"]).transpose(0, 2, 3, 1).reshape(2, -1, 4)
+    img = 48.0
+    cx, cy = zw[..., 0] * img, zw[..., 1] * img
+    bw, bh = zw[..., 2] * img, zw[..., 3] * img
+    expected = np.stack([cx - bw / 2, cy - bh / 2,
+                         cx + bw / 2, cy + bh / 2], -1)
+    np.testing.assert_allclose(np.asarray(out["boxes"]), expected,
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_detector_batch_consistency():
+    """detect on a batch equals detect on each image alone."""
+    cfg = tiny_config(inference_mode="independent")
+    params = init_params(jax.random.PRNGKey(9), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(10), (3, 1, 48, 48))
+    full = detect(params, x, cfg)
+    for i in range(3):
+        one = detect(params, x[i:i + 1], cfg)
+        np.testing.assert_allclose(np.asarray(one["boxes"][0]),
+                                   np.asarray(full["boxes"][i]),
+                                   rtol=1e-5, atol=1e-4)

@@ -140,3 +140,115 @@ class TestGradClipping:
         d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
                                    state.params, s1.params)
         assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+class TestShardedData:
+    """Per-host sharded generation (SURVEY §5: distributed data loading)."""
+
+    def test_host_slice_partition(self):
+        from spair_pytorch_tpu.data.sharded import host_slice
+        # slices tile the global batch exactly, for any process count
+        for nproc in (1, 2, 4, 8):
+            spans = [host_slice(32, nproc, i) for i in range(nproc)]
+            assert spans[0][0] == 0 and spans[-1][1] == 32
+            for (a, b), (c, d) in zip(spans, spans[1:]):
+                assert b == c
+        with pytest.raises(ValueError):
+            host_slice(10, 4, 0)
+
+    def test_topology_invariant_content(self):
+        """Example i is bit-identical no matter how many processes generate
+        it (the fold_in(key, global_index) determinism contract)."""
+        from spair_pytorch_tpu.data import DataConfig, glyph_bank
+        from spair_pytorch_tpu.data.sharded import generate_host_local
+        bank = jnp.asarray(glyph_bank((7, 7)))
+        dcfg = DataConfig(image_hw=(24, 24), patch_hw=(7, 7), max_objects=2)
+        key = jax.random.PRNGKey(5)
+        whole = generate_host_local(key, bank, dcfg, 8, 1, 0)
+        parts = [generate_host_local(key, bank, dcfg, 8, 4, i)
+                 for i in range(4)]
+        stitched = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+        for a, b in zip(jax.tree_util.tree_leaves(whole),
+                        jax.tree_util.tree_leaves(stitched)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_sharded_batch_on_mesh(self, eight_devices):
+        """The assembled global array is data-axis sharded, each shard holds
+        the examples its host generated, and a DP train step consumes it
+        with the same loss as the replicated-input run."""
+        from spair_pytorch_tpu.data import DataConfig, glyph_bank
+        from spair_pytorch_tpu.data.sharded import (generate_host_local,
+                                                    sharded_scattered_batch)
+        bank = jnp.asarray(glyph_bank((7, 7)))
+        dcfg = DataConfig(image_hw=(48, 48), patch_hw=(7, 7), max_objects=2)
+        mesh = make_mesh(n_data=8, devices=eight_devices)
+        key = jax.random.PRNGKey(9)
+        batch = sharded_scattered_batch(key, bank, dcfg, 8, mesh)
+        x, bbox, count = batch
+        assert x.shape == (8, 1, 48, 48)
+        # sharded over 'data': every addressable shard is 1 example
+        assert len(x.sharding.device_set) == 8
+        for shard in x.addressable_shards:
+            assert shard.data.shape[0] == 1
+        # content matches host-local generation of the same global ids
+        ref_x, ref_bbox, ref_count = generate_host_local(key, bank, dcfg,
+                                                         8, 1, 0)
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(ref_x))
+        np.testing.assert_array_equal(np.asarray(bbox), np.asarray(ref_bbox))
+
+        cfg = tiny_config(inference_mode="independent", batch_size=8)
+        state = replicate(mesh, create_train_state(cfg))
+        step_dp = make_train_step(cfg, mesh, donate=False)
+        _, m_dp = step_dp(state, x)
+
+        step_sd = make_train_step(cfg, donate=False)
+        _, m_sd = step_sd(create_train_state(cfg), jnp.asarray(ref_x))
+        assert np.isclose(float(m_dp["losses/total"]),
+                          float(m_sd["losses/total"]), rtol=1e-4)
+
+
+class TestStepsPerCall:
+    def test_scan_folded_steps_match_sequential(self):
+        """steps_per_call=K is bit-identical to K sequential fused calls
+        (same RNG chain through the carried state), with stacked metrics."""
+        from spair_pytorch_tpu.data import DataConfig, glyph_bank
+        cfg = tiny_config(inference_mode="independent", batch_size=2)
+        bank = jnp.asarray(glyph_bank((10, 10)))
+        dcfg = DataConfig(image_hw=(48, 48), patch_hw=(10, 10),
+                          max_objects=2)
+        s1 = create_train_state(cfg)
+        s2 = jax.tree_util.tree_map(lambda t: t.copy(), s1)
+
+        step1 = make_train_step(cfg, datagen=(dcfg, bank), donate=False)
+        losses_seq = []
+        for _ in range(3):
+            s1, m = step1(s1)
+            losses_seq.append(float(m["losses/total"]))
+
+        step3 = make_train_step(cfg, datagen=(dcfg, bank), donate=False,
+                                steps_per_call=3)
+        s2, m3 = step3(s2)
+        assert m3["losses/total"].shape == (3,)
+        np.testing.assert_allclose(np.asarray(m3["losses/total"]),
+                                   np.asarray(losses_seq), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_train_driver_steps_per_call(self, tmp_path):
+        """Driver with steps_per_call: every step still logged, loop count
+        right."""
+        import json
+        from spair_pytorch_tpu.train import train
+        cfg = tiny_config(inference_mode="independent", batch_size=2)
+        state = train(cfg, steps=6, logdir=str(tmp_path / "run"),
+                      checkpoint_every=0, metrics_every=0, verbose=False,
+                      steps_per_call=3, log_flush_every=2)
+        assert int(state.step) == 6
+        steps_logged = set()
+        with open(tmp_path / "run" / "metrics.jsonl") as fh:
+            for line in fh:
+                steps_logged.add(json.loads(line)["step"])
+        assert steps_logged == {0, 1, 2, 3, 4, 5}
