@@ -10,6 +10,20 @@ BASELINE.md). Paper config: batch 32 per chip, 128x128 images, full training
 step (forward + backward + Adam) with on-device data generation, sequential
 lateral-context inference via the wavefront scan — the reference's
 semantics, not the easier independent mode.
+
+Measurement protocol (hard-won, round 2): through the axon TPU tunnel,
+``jax.block_until_ready`` is UNRELIABLE — in some regimes it returns on
+dispatch ACCEPTANCE rather than completion, which once inflated this very
+benchmark to 27k img/s (physically impossible for a step that executes
+~200 sequential scan iterations; the training driver's own wall clock said
+~14 ms/step all along). Honest timing therefore:
+
+  * folds K steps into ONE device program (lax.scan over the train step —
+    bit-identical math), so per-dispatch link latency can't dominate;
+  * forces a DATA dependency to the host (device_get of the final loss)
+    so the clock stops only when the device has actually finished;
+  * uses DELTA timing — time(3 calls) - time(1 call) = 2K steps — so the
+    one-off D2H/dispatch overhead cancels exactly.
 """
 
 from __future__ import annotations
@@ -25,16 +39,15 @@ REFERENCE_BASELINE_IPS = 0.445
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=15)
-    p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--repeats", type=int, default=12,
-                   help="timing blocks; the fastest is reported (the "
-                        "tunneled TPU link has multi-MINUTE degraded "
-                        "windows where every step runs ~30x slow, so "
-                        "blocks are spread over time with --block-sleep)")
-    p.add_argument("--block-sleep", type=float, default=8.0,
-                   help="seconds between timing blocks (time diversity "
-                        "against tunnel latency windows)")
+    p.add_argument("--steps", type=int, default=50,
+                   help="K: steps per device call (one lax.scan dispatch)")
+    p.add_argument("--repeats", type=int, default=5,
+                   help="delta-timing trials; fastest is reported "
+                        "(the tunneled link still has slow windows — "
+                        "spread is reported so they're visible)")
+    p.add_argument("--block-sleep", type=float, default=5.0,
+                   help="seconds between trials (time diversity against "
+                        "tunnel latency windows)")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--mode", default="wavefront",
                    choices=["independent", "raster", "wavefront"])
@@ -42,6 +55,8 @@ def main():
                    choices=[None, "xla", "pallas"])
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--count-kl", default=None, choices=[None, "seq", "par"],
+                   help="override count-prior KL implementation")
     p.add_argument("--baseline-ips", type=float,
                    default=REFERENCE_BASELINE_IPS)
     args = p.parse_args()
@@ -56,49 +71,53 @@ def main():
                      compute_dtype=args.compute_dtype)
     if args.render:
         overrides["render_backend"] = args.render
+    if args.count_kl:
+        overrides["count_prior_parallel"] = args.count_kl == "par"
     cfg = paper_config(**overrides)
 
     import jax.numpy as jnp
     bank = jnp.asarray(glyph_bank((14, 14)))
     dcfg = DataConfig(image_hw=cfg.image_shape[1:], max_objects=6)
 
-    # Fused step: on-device scene generation + train step in ONE dispatch
-    # (BASELINE config 5; same arrangement as the training driver).
+    # K steps fused into one dispatch (BASELINE config 5 datagen + step).
+    k = args.steps
     state = create_train_state(cfg)
-    step_fn = make_train_step(cfg, datagen=(dcfg, bank))
+    step_fn = make_train_step(cfg, datagen=(dcfg, bank), steps_per_call=k)
 
-    for _ in range(args.warmup):
-        state, metrics = step_fn(state)
-    jax.block_until_ready(metrics)
+    def run(ncalls, state):
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(ncalls):
+            state, m = step_fn(state)
+        # data dependency to host: the clock stops at actual completion
+        jax.device_get(m["losses/total"][-1])
+        return time.perf_counter() - t0, state
 
-    times = []
+    # warmup/compile
+    _, state = run(1, state)
+
+    per_step = []
     for r in range(max(1, args.repeats)):
         if r and args.block_sleep:
             time.sleep(args.block_sleep)
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            state, metrics = step_fn(state)
-        jax.block_until_ready(metrics)
-        times.append(time.perf_counter() - t0)
+        t1, state = run(1, state)
+        t3, state = run(3, state)
+        per_step.append((t3 - t1) / (2 * k))
 
-    # step_fn is built without a mesh: exactly ONE chip does the work, so
-    # per-chip throughput divides by 1, not jax.device_count().
-    images = args.batch * args.steps
-    per_block_ips = sorted(images / t for t in times)
-    ips_per_chip = per_block_ips[-1]                      # best block
-    median_ips = per_block_ips[len(per_block_ips) // 2]
+    per_step.sort()
+    best, median = per_step[0], per_step[len(per_step) // 2]
+    ips = args.batch / best
     print(json.dumps({
         "metric": "train images/sec/chip, 128x128 scattered-MNIST, "
-                  f"batch {args.batch}, {args.mode} inference",
-        "value": round(ips_per_chip, 2),
+                  f"batch {args.batch}, {args.mode} inference "
+                  "(delta-timed, D2H-forced)",
+        "value": round(ips, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips_per_chip / args.baseline_ips, 2),
-        # dispersion across timing blocks: the tunneled TPU link has
-        # multi-ms latency windows, so best-vs-median separates real
-        # regressions from link noise (VERDICT round 1, item 10).
-        "spread": {"median": round(median_ips, 2),
-                   "min": round(per_block_ips[0], 2),
-                   "blocks": len(per_block_ips)},
+        "vs_baseline": round(ips / args.baseline_ips, 2),
+        "spread": {"ms_per_step_best": round(best * 1e3, 3),
+                   "ms_per_step_median": round(median * 1e3, 3),
+                   "ms_per_step_worst": round(per_step[-1] * 1e3, 3),
+                   "trials": len(per_step)},
     }))
 
 
