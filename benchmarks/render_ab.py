@@ -1,0 +1,91 @@
+"""Honest A/B: XLA chunk-scan compositor vs Pallas v2 kernel, fwd and
+fwd+bwd, paper-config shapes (b32, 121 objects, 128x128). Delta-timed."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from spair_pytorch_tpu.config import paper_config
+from spair_pytorch_tpu.models import geometry, init_params
+from spair_pytorch_tpu.models.render import render, paste_window_rows
+
+
+def delta_time(fn, init, k, trials=3):
+    jitted = jax.jit(fn)
+    c = jitted(init)
+    jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
+
+    def run(ncalls, c):
+        t0 = time.perf_counter()
+        for _ in range(ncalls):
+            c = jitted(c)
+        jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
+        return time.perf_counter() - t0, c
+
+    best = float("inf")
+    for t in range(trials):
+        if t:
+            time.sleep(2)
+        t1, c = run(1, init)
+        t3, c = run(3, init)
+        best = min(best, (t3 - t1) / (2 * k))
+    return best
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--k", type=int, default=30)
+    args = p.parse_args()
+    b, k = args.batch, args.k
+
+    for backend in ("xla", "pallas"):
+        cfg = paper_config(batch_size=b, compute_dtype="bfloat16",
+                           render_backend=backend)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        _, (gh, gw), _ = geometry(cfg)
+        rng = jax.random.PRNGKey(1)
+        z_attr0 = jax.random.normal(rng, (b, gh, gw, cfg.n_attributes)) * 0.3
+        z_where0 = jnp.tile(jnp.asarray([0.5, 0.5, 0.3, 0.3]),
+                            (b, gh, gw, 1)) + \
+            jax.random.uniform(rng, (b, gh, gw, 4), minval=-0.1, maxval=0.1)
+        z_depth0 = jnp.full((b, gh, gw, 1), 2.0)
+        z_pres0 = jnp.full((b, gh, gw, 1), 0.7)
+        hw = cfg.image_shape[1:]
+        if backend == "pallas":
+            print(f"  (window rows: {paste_window_rows(cfg, hw)})")
+
+        def fwd_scan(c):
+            def body(c, _):
+                r = render(params, cfg, c, z_where0, z_depth0, z_pres0,
+                           hw, jnp.bfloat16)
+                return c * 0.999 + r.mean() * 1e-6, ()
+            return jax.lax.scan(body, c, None, length=k)[0]
+
+        dt = delta_time(fwd_scan, z_attr0, k)
+        print(f"{backend:7s} render fwd       {dt * 1e3:7.2f} ms", flush=True)
+
+        def fwdbwd_scan(c):
+            def body(c, _):
+                def loss(za, zw):
+                    r = render(params, cfg, za, zw, z_depth0, z_pres0,
+                               hw, jnp.bfloat16)
+                    return jnp.sum(r * r)
+                l, (ga, gw_) = jax.value_and_grad(loss, argnums=(0, 1))(
+                    c, z_where0)
+                return c * 0.999 + ga * 1e-6 + l * 1e-9 + \
+                    gw_.mean() * 1e-9, ()
+            return jax.lax.scan(body, c, None, length=k)[0]
+
+        dt = delta_time(fwdbwd_scan, z_attr0, k)
+        print(f"{backend:7s} render fwd+bwd   {dt * 1e3:7.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -121,8 +121,13 @@ class SpairConfig:
     inference_mode: str = "wavefront"
     # bfloat16 matmuls on the MXU for the hot paths; params and loss stay f32.
     compute_dtype: str = "float32"
-    # 'xla': scan-over-chunks compositor; 'pallas': fused TPU kernel.
-    render_backend: str = "xla"
+    # 'auto': the fused Pallas kernel on TPU, the XLA chunk-scan compositor
+    # elsewhere (the kernel runs in interpret mode off-TPU — correct but
+    # slow, so CPU/CI paths default to XLA). 'xla'/'pallas' force a
+    # backend. Measured on v5e (benchmarks/render_ab.py, delta-timed):
+    # pallas fwd+bwd 4.6 ms vs XLA 8.1 ms at b32/121 objects/128x128 —
+    # the windowed in-kernel VJP is what flips it.
+    render_backend: str = "auto"
     # 'reference': importance-normalized blend (reference models.py:524-537,
     # SURVEY quirk #7); 'ordered': corrected z-depth-ordered alpha-over.
     render_mode: str = "reference"

@@ -241,7 +241,15 @@ def render(params, cfg: SpairConfig, z_attr, z_where, z_depth, z_pres,
         out = composite_ordered(color, alpha, flat(z_depth), boxes,
                                 image_hw, cfg.render_chunk)
         return jnp.clip(out, 0.0, 1.0)
-    if cfg.render_backend == "pallas":
+    backend = cfg.render_backend
+    if backend == "auto":
+        # resolved at trace time: the Pallas kernel wins on TPU hardware
+        # (in-kernel windowed VJP, benchmarks/render_ab.py) but only runs
+        # interpreted off-TPU, where the XLA chunk scan is the right tool.
+        # note: the tunneled TPU platform reports itself as 'axon', so
+        # test for NOT-cpu rather than == 'tpu'.
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if backend == "pallas":
         from spair_pytorch_tpu.ops.pallas.composite import composite_pallas
         num, den = composite_pallas(color, alpha, importance, boxes, image_hw,
                                     paste_window_rows(cfg, image_hw))
