@@ -91,6 +91,15 @@ def make_train_step(cfg: SpairConfig, mesh: Optional[Mesh] = None,
                                opt_state=opt_state, rng=rng)
         metrics = dict(aux["losses"])
         metrics["training_wheel"] = aux["training_wheel"]
+        # presence-count diagnostics for the long-horizon loss-explosion
+        # analysis: the count-prior's sequential normalizer clamp
+        # (models/kl.py, reference models.py:238) binds only when the
+        # rounded presence count far exceeds the annealed prior's support,
+        # so batch count extremes localize when/where that regime starts.
+        counts = jnp.sum(jnp.round(aux["z_pres"]), axis=(1, 2, 3))
+        metrics["debug/pres_count_max"] = jnp.max(counts)
+        metrics["debug/pres_count_mean"] = jnp.mean(counts)
+        metrics["debug/grad_global_norm"] = optax.global_norm(grads)
         from spair_pytorch_tpu.utils.debug import grad_norms_by_head
         metrics.update(grad_norms_by_head(grads))
         if gt_bbox is not None:

@@ -144,11 +144,14 @@ def test_forward_parity_with_reference(ref_modules, step):
 
 
 def test_training_trajectory_parity(ref_modules):
-    """Bit-comparable ELBO CURVES (BASELINE.json north star): run several
-    Adam steps of BOTH implementations from the same parameters with zeroed
+    """Bit-comparable ELBO CURVES (BASELINE.json north star): run 50 Adam
+    steps of BOTH implementations from the same parameters with zeroed
     sampling noise on a fixed batch, and compare the loss trajectory. This
     pins the BACKWARD semantics end-to-end: STN gradients, stop-gradient
-    freeze mixing, BCE backward, KL gradients, and Adam."""
+    freeze mixing, BCE backward, KL gradients, and Adam — and, at 50 steps,
+    that per-step f32 rounding differences do not compound (the curves stay
+    within a growing-but-bounded envelope; see also
+    benchmarks/elbo_overlay.py for the 2,000-step artifact)."""
     import torch.nn.functional as F
     import optax
 
@@ -157,7 +160,7 @@ def test_training_trajectory_parity(ref_modules):
     params = init_params(jax.random.PRNGKey(7), cfg)
     rng = np.random.RandomState(11)
     x = (rng.rand(2, 1, 60, 60) > 0.85).astype("f")
-    n_steps = 4
+    n_steps = 50
     step0 = 1503  # training wheel off so all heads receive gradients
 
     # --- ours ---
@@ -222,4 +225,11 @@ def test_training_trajectory_parity(ref_modules):
             ref_opt.step()
             theirs.append(float(loss))
 
-    np.testing.assert_allclose(ours, theirs, rtol=2e-4), (ours, theirs)
+    ours, theirs = np.asarray(ours), np.asarray(theirs)
+    # early steps: tight (pins exact backward semantics)
+    np.testing.assert_allclose(ours[:10], theirs[:10], rtol=2e-4)
+    # full horizon: identical-math implementations drift only by f32
+    # rounding; allow a slowly growing envelope but catch any systematic
+    # divergence (a wrong gradient shows up as >1e-2 within ~20 steps)
+    rel = np.abs(ours - theirs) / np.abs(theirs)
+    assert rel.max() < 5e-3, (rel.max(), rel.argmax())
