@@ -64,6 +64,19 @@ PRIORS: Tuple[Tuple[str, Tuple[float, float]], ...] = (
     ("depth_logit", (0.0, 1.0)),
 )
 
+
+def free_box_priors(mean: float = 0.0, std: float = 1.0):
+    """PRIORS with the h/w-logit prior relaxed to N(mean, std).
+
+    The reference's N(7.0, 0.5) pins sigmoid(h_logit) ~ 0.999 — boxes stay
+    anchor-sized (48 px on ~16 px digits), which is why strict AP@0.5 is
+    ~0 even at 0.91 count accuracy (benchmarks/RESULTS.md round-2 table).
+    N(0, 1) centers boxes at half the anchor with freedom to shrink to the
+    digit. Opt-in (`--box-prior free`); the reference prior remains the
+    fidelity default."""
+    keep = {"height_logit", "width_logit"}
+    return tuple((k, ((mean, std) if k in keep else v)) for k, v in PRIORS)
+
 # (filters, kernel_size, stride) per conv layer; a final 1x1 conv to
 # n_backbone_features is appended by the backbone builder
 # (reference config.py:7-14, modules.py:43-66).

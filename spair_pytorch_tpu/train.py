@@ -348,6 +348,12 @@ def main(argv=None):
                    help="fold K steps into one device dispatch (fused "
                         "datagen mode only; bit-identical math, per-step "
                         "logging preserved). Keep cadences multiples of K.")
+    p.add_argument("--box-prior", default="reference",
+                   choices=["reference", "free"],
+                   help="'reference': the reference's N(7.0,0.5) h/w-logit "
+                        "prior (boxes pinned near the anchor); 'free': "
+                        "N(0,1) so boxes can shrink to the object "
+                        "(config.free_box_priors)")
     args = p.parse_args(argv)
 
     overrides = {}
@@ -357,6 +363,9 @@ def main(argv=None):
         overrides["inference_mode"] = args.mode
     if args.grad_clip is not None:
         overrides["grad_clip_norm"] = args.grad_clip
+    if args.box_prior == "free":
+        from spair_pytorch_tpu.config import free_box_priors
+        overrides["priors"] = free_box_priors()
     cfg = PRESETS[args.preset](**overrides)
     train(cfg, steps=args.steps, logdir=args.logdir, hdf5=args.hdf5,
           data_source=args.data, use_mesh=args.mesh,
