@@ -47,8 +47,14 @@ class CheckpointManager:
         if params_only:
             item = {"step": template.step, "params": template.params,
                     "rng": template.rng}
+            # explicit per-leaf restore args: without them, restoring a
+            # TPU-written checkpoint on a CPU host fails with "sharding
+            # ... Got None" (orbax needs a concrete target sharding; the
+            # template's arrays carry one).
+            restore_args = ocp.checkpoint_utils.construct_restore_args(item)
             restored = self._mgr.restore(
-                step, args=ocp.args.PyTreeRestore(item, partial_restore=True))
+                step, args=ocp.args.PyTreeRestore(
+                    item, restore_args=restore_args, partial_restore=True))
             return TrainState(step=restored["step"],
                               params=restored["params"],
                               opt_state=template.opt_state,
