@@ -1,0 +1,136 @@
+"""Batched-request serving harness for the SPAIR detector.
+
+No reference counterpart (the reference exposes only the training
+forward). This is the deployment surface around
+``models.infer.make_detector``: requests of arbitrary size are packed
+into fixed-shape device batches (one compiled program per bucket — no
+recompiles at serving time), detections are thresholded and unpadded per
+request, and a simple latency/throughput report is available for capacity
+planning.
+
+    server = DetectorServer(cfg, params, batch_sizes=(1, 8, 32))
+    dets = server.detect(images)        # (N, C, H, W) any N
+    dets[i]["boxes"]   # (k_i, 4) pixel [x0, y0, x1, y1] above threshold
+    dets[i]["scores"]  # (k_i,)
+    dets[i]["count"]   # int
+
+CLI smoke/benchmark:
+    python -m spair_pytorch_tpu.serve --preset paper128 \
+        --logdir runs/paper128_real100k --requests 64 --batch 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spair_pytorch_tpu.config import PRESETS, SpairConfig
+from spair_pytorch_tpu.models.infer import make_detector
+
+
+class DetectorServer:
+    """Fixed-bucket batched detector with per-request unpadding."""
+
+    def __init__(self, cfg: SpairConfig, params,
+                 batch_sizes: Sequence[int] = (1, 8, 32),
+                 pres_threshold: float = 0.5):
+        self.cfg = cfg
+        self.params = params
+        self.threshold = pres_threshold
+        self.buckets = tuple(sorted(batch_sizes))
+        self._fn = make_detector(cfg, pres_threshold)
+
+    def warmup(self):
+        """Compile every bucket up front (serving should never pay a
+        first-request compile)."""
+        c, h, w = self.cfg.image_shape
+        for b in self.buckets:
+            out = self._fn(self.params, jnp.zeros((b, c, h, w)))
+        jax.block_until_ready(out["boxes"])
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def detect(self, images: np.ndarray) -> List[Dict]:
+        """images (N, C, H, W) in [0,1] -> N per-request detection dicts."""
+        n = images.shape[0]
+        out: List[Dict] = []
+        i = 0
+        while i < n:
+            b = self._bucket(n - i)
+            take = min(b, n - i)
+            chunk = images[i:i + take]
+            if take < b:  # pad the final partial batch
+                pad = np.zeros((b - take,) + images.shape[1:], images.dtype)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            res = self._fn(self.params, jnp.asarray(chunk))
+            boxes, scores = jax.device_get((res["boxes"], res["scores"]))
+            for j in range(take):
+                keep = scores[j] >= self.threshold
+                out.append({
+                    "boxes": boxes[j][keep],
+                    "scores": scores[j][keep],
+                    "count": int(keep.sum()),
+                })
+            i += take
+        return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="paper128", choices=sorted(PRESETS))
+    p.add_argument("--logdir", default=None,
+                   help="checkpoint to serve (default: fresh params)")
+    p.add_argument("--requests", type=int, default=64)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--threshold", type=float, default=0.5)
+    args = p.parse_args(argv)
+
+    import os
+
+    from spair_pytorch_tpu.data import DataConfig, digit_bank
+    from spair_pytorch_tpu.data.scattered_mnist import _generate_one
+    from spair_pytorch_tpu.parallel import create_train_state
+
+    cfg = PRESETS[args.preset]()
+    state = create_train_state(cfg)
+    if args.logdir:
+        from spair_pytorch_tpu.utils.checkpoint import CheckpointManager
+        mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"))
+        restored = mgr.restore(state, params_only=True)
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {args.logdir}")
+        state = restored
+
+    server = DetectorServer(cfg, state.params, batch_sizes=(args.batch,),
+                            pres_threshold=args.threshold)
+    server.warmup()
+
+    bank = jnp.asarray(digit_bank("auto", (14, 14)))
+    dcfg = DataConfig(image_hw=cfg.image_shape[1:],
+                      max_objects=cfg.max_scene_objects)
+    keys = jax.random.split(jax.random.PRNGKey(0), args.requests)
+    x, _, counts = jax.vmap(lambda k: _generate_one(k, bank, dcfg))(keys)
+    x = np.asarray(x)
+
+    t0 = time.perf_counter()
+    dets = server.detect(x)
+    dt = time.perf_counter() - t0
+    pred = np.array([d["count"] for d in dets])
+    true = np.asarray(counts)[:, 0]
+    print(f"served {args.requests} requests in {dt * 1e3:.1f} ms "
+          f"({args.requests / dt:.0f} img/s, bucket {args.batch})")
+    print(f"count accuracy vs generator labels: "
+          f"{float((pred == true).mean()):.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -106,3 +106,38 @@ def test_detector_batch_consistency():
         np.testing.assert_allclose(np.asarray(one["boxes"][0]),
                                    np.asarray(full["boxes"][i]),
                                    rtol=1e-5, atol=1e-4)
+
+
+class TestDetectorServer:
+    def test_batched_requests_unpadded(self):
+        """Arbitrary request counts pack into fixed buckets; padded slots
+        never leak into results."""
+        from spair_pytorch_tpu.serve import DetectorServer
+        cfg = tiny_config(inference_mode="independent")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        server = DetectorServer(cfg, params, batch_sizes=(4,),
+                                pres_threshold=0.5)
+        server.warmup()
+        x = np.asarray(jax.random.uniform(jax.random.PRNGKey(1),
+                                          (6, 1, 48, 48)))
+        dets = server.detect(x)
+        assert len(dets) == 6
+        for d in dets:
+            assert d["boxes"].shape == (d["count"], 4)
+            assert (d["scores"] >= 0.5).all()
+
+    def test_matches_direct_detect(self):
+        """Server results equal direct detect() on the same images."""
+        from spair_pytorch_tpu.serve import DetectorServer
+        cfg = tiny_config(inference_mode="independent")
+        params = init_params(jax.random.PRNGKey(2), cfg)
+        server = DetectorServer(cfg, params, batch_sizes=(2,))
+        x = np.asarray(jax.random.uniform(jax.random.PRNGKey(3),
+                                          (2, 1, 48, 48)))
+        dets = server.detect(x)
+        direct = detect(params, jnp.asarray(x), cfg)
+        for j in range(2):
+            keep = np.asarray(direct["scores"][j]) >= 0.5
+            np.testing.assert_allclose(dets[j]["boxes"],
+                                       np.asarray(direct["boxes"][j])[keep],
+                                       rtol=1e-6)
