@@ -246,9 +246,11 @@ def render(params, cfg: SpairConfig, z_attr, z_where, z_depth, z_pres,
         # resolved at trace time: the Pallas kernel wins on TPU hardware
         # (in-kernel windowed VJP, benchmarks/render_ab.py) but only runs
         # interpreted off-TPU, where the XLA chunk scan is the right tool.
-        # note: the tunneled TPU platform reports itself as 'axon', so
-        # test for NOT-cpu rather than == 'tpu'.
-        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+        # note: the tunneled TPU platform reports itself as 'axon'; any
+        # OTHER accelerator (e.g. gpu) gets the XLA compositor — the
+        # kernel uses pltpu memory spaces and would fail to lower there.
+        backend = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                   else "xla")
     if backend == "pallas":
         from spair_pytorch_tpu.ops.pallas.composite import composite_pallas
         num, den = composite_pallas(color, alpha, importance, boxes, image_hw,

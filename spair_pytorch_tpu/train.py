@@ -123,8 +123,21 @@ def train(cfg: SpairConfig,
         # tunnel's per-dispatch latency. Keep logging/checkpoint cadences
         # multiples of K so events land on their exact steps.
         spc = max(1, steps_per_call)
+        if spc > 1:
+            # mid-window cadence hits would label end-of-window state with a
+            # non-round step (breaking `eval --step N`); catch it up front.
+            for nm, every in (("checkpoint_every", checkpoint_every),
+                              ("eval_every", eval_every),
+                              ("log_images_every", log_images_every),
+                              ("log_figures_every", log_figures_every)):
+                if every and every % spc != 0:
+                    raise ValueError(
+                        f"{nm}={every} must be a multiple of "
+                        f"steps_per_call={spc} (cadence hits must land on "
+                        "dispatch boundaries)")
         step_fn = make_train_step(cfg, mesh, datagen=(dcfg, bank),
                                   steps_per_call=spc)
+        rem_step_fn = None  # lazily-built remainder-window step
         data = None
     else:
         spc = 1
@@ -155,8 +168,21 @@ def train(cfg: SpairConfig,
     done = 0
     while done < steps:
         if fused:
-            state, scalars = step_fn(state)
-            n_sub = spc
+            if steps - done < spc:
+                # remainder window: run exactly the steps asked for rather
+                # than overshooting by up to K-1 (one extra compile, only
+                # when steps is not a multiple of steps_per_call).
+                if rem_step_fn is None or rem_step_fn[0] != steps - done:
+                    rem_step_fn = (steps - done,
+                                   make_train_step(cfg, mesh,
+                                                   datagen=(dcfg, bank),
+                                                   steps_per_call=steps
+                                                   - done))
+                n_sub = rem_step_fn[0]
+                state, scalars = rem_step_fn[1](state)
+            else:
+                state, scalars = step_fn(state)
+                n_sub = spc
         else:
             batch = next(data)
             if mesh is not None:
@@ -284,10 +310,14 @@ def train(cfg: SpairConfig,
             from spair_pytorch_tpu.eval import evaluate
             held, _, _ = evaluate(cfg, state, batches=len(eval_set),
                                   data=iter(eval_set))
-            writer.scalars(it + 1, {f"eval/{k}": v for k, v in held.items()
-                                    if k != "step"})
+            # label with the state's actual step (end of this dispatch
+            # window) — with steps_per_call > 1 the evaluated state is at
+            # it + n_sub, not it + 1.
+            writer.scalars(it + n_sub,
+                           {f"eval/{k}": v for k, v in held.items()
+                            if k != "step"})
             if verbose:
-                print(f"step {it + 1}: eval count_acc "
+                print(f"step {it + n_sub}: eval count_acc "
                       f"{held['count_exact_accuracy']:.3f} ap50 "
                       f"{held['ap_at_50']:.3f}")
 

@@ -252,3 +252,53 @@ class TestStepsPerCall:
             for line in fh:
                 steps_logged.add(json.loads(line)["step"])
         assert steps_logged == {0, 1, 2, 3, 4, 5}
+
+
+class TestMultiProcess:
+    """REAL multi-process jax.distributed execution (Gloo CPU backend).
+
+    Everything else in this file shards over one process's 8 virtual
+    devices; these spawn actual separate processes (2 procs x 2 devices)
+    and assert the two claims sharded.py makes about topology invariance
+    (sharded.py:11-18): identical data stream, identical DP training math.
+    """
+
+    @staticmethod
+    def _run_cluster(nproc, outdir):
+        import socket
+        import subprocess
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+        procs = [subprocess.Popen(
+            ["python", os.path.join(root, "tests", "multiproc_worker.py"),
+             str(i), str(nproc), str(port), outdir],
+            cwd=root, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT) for i in range(nproc)]
+        outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{out[-2000:]}"
+
+    def test_two_process_dp_matches_single_process(self, tmp_path):
+        d2, d1 = str(tmp_path / "np2"), str(tmp_path / "np1")
+        os.makedirs(d2), os.makedirs(d1)
+        self._run_cluster(2, d2)
+        self._run_cluster(1, d1)
+
+        one = np.load(os.path.join(d1, "proc0.npz"))
+        a = np.load(os.path.join(d2, "proc0.npz"))
+        b = np.load(os.path.join(d2, "proc1.npz"))
+
+        # (a) bit-identical global stream, any process count
+        for k in ("images", "bbox", "count"):
+            two = np.concatenate([a[k], b[k]], axis=0)
+            np.testing.assert_array_equal(two, one[k])
+
+        # (b) the DP train step computes the same math on 4 devices/2
+        # processes as on 2 devices/1 process (reduction-order tolerance)
+        for k in ("loss", "pnorm"):
+            np.testing.assert_allclose(a[k], one[k], rtol=2e-5)
+            np.testing.assert_allclose(b[k], one[k], rtol=2e-5)
