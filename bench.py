@@ -37,6 +37,66 @@ import time
 REFERENCE_BASELINE_IPS = 0.445
 
 
+def run_check(cfg):
+    """On-device correctness gate: Pallas compositor vs the XLA reference
+    implementation (forward AND full VJP) on random latents at the bench
+    config's shapes. Returns a dict recorded in the bench JSON; raises on
+    mismatch so a broken kernel fails the benchmark instead of timing it."""
+    import jax
+    import jax.numpy as jnp
+
+    from spair_pytorch_tpu.models.render import (composite_xla,
+                                                 paste_window_rows)
+    from spair_pytorch_tpu.ops.backbone import grid_geometry
+    from spair_pytorch_tpu.ops.pallas.composite import composite_pallas
+
+    image_hw = cfg.image_shape[1:]
+    _, (gh, gw), _ = grid_geometry(image_hw, cfg.backbone_topology)
+    n = gh * gw
+    b, c = 4, cfg.image_shape[0]
+    oh, ow = cfg.object_shape
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    color = jax.random.uniform(ks[0], (b, n, c, oh, ow))
+    alpha = jax.random.uniform(ks[1], (b, n, 1, oh, ow))
+    imp = jax.random.uniform(ks[2], (b, n, 1, oh, ow), minval=0.01)
+    xt_yt = jax.random.uniform(ks[3], (b, n, 2), minval=0.05, maxval=0.95)
+    xs_ys = jax.random.uniform(ks[4], (b, n, 2), minval=0.05,
+                               maxval=cfg.anchor_shape[0] / image_hw[0])
+    boxes = jnp.concatenate([xt_yt, xs_ys], -1)
+    win = paste_window_rows(cfg, image_hw)
+
+    def loss_of(fn):
+        def f(co, al, im, bx):
+            num, den = fn(co, al, im, bx)
+            out = num / den
+            # weighted sum -> nontrivial cotangents through num AND den
+            w = jnp.cos(jnp.arange(out.size, dtype=jnp.float32)
+                        ).reshape(out.shape)
+            return jnp.sum(out * w)
+        return f
+
+    pal = loss_of(lambda co, al, im, bx: composite_pallas(
+        co, al, im, bx, image_hw, win))
+    ref = loss_of(lambda co, al, im, bx: composite_xla(
+        co, al, im, bx, image_hw, cfg.render_chunk))
+    args_ = (color, alpha, imp, boxes)
+    (lp, gp), (lr, gr) = jax.device_get(
+        (jax.jit(jax.value_and_grad(pal, argnums=(0, 1, 2, 3)))(*args_),
+         jax.jit(jax.value_and_grad(ref, argnums=(0, 1, 2, 3)))(*args_)))
+    import numpy as np
+    fwd_err = abs(lp - lr) / max(1.0, abs(lr))
+    grad_err = max(
+        float(np.max(np.abs(a - b_)) / max(1.0, np.max(np.abs(b_))))
+        for a, b_ in zip(gp, gr))
+    ok = bool(np.isfinite(lp)) and fwd_err < 1e-4 and grad_err < 1e-3
+    result = {"pallas_vs_xla_fwd_relerr": float(f"{fwd_err:.3g}"),
+              "pallas_vs_xla_grad_relerr": float(f"{grad_err:.3g}"),
+              "passed": ok}
+    if not ok:
+        raise AssertionError(f"bench --check FAILED: {result}")
+    return result
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=50,
@@ -52,13 +112,19 @@ def main():
     p.add_argument("--mode", default="wavefront",
                    choices=["independent", "raster", "wavefront"])
     p.add_argument("--render", default=None,
-                   choices=[None, "xla", "pallas"])
+                   choices=[None, "xla", "pallas", "pallas_v3"])
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--count-kl", default=None, choices=[None, "seq", "par"],
                    help="override count-prior KL implementation")
     p.add_argument("--baseline-ips", type=float,
                    default=REFERENCE_BASELINE_IPS)
+    p.add_argument("--check", action="store_true",
+                   help="hardware regression gate before timing: assert "
+                        "the Pallas compositor matches the XLA compositor "
+                        "on-device (fwd and VJP) and that a K-step train "
+                        "window produces a finite loss; result is recorded "
+                        "in the output JSON")
     args = p.parse_args()
 
     import jax
@@ -84,6 +150,10 @@ def main():
     state = create_train_state(cfg)
     step_fn = make_train_step(cfg, datagen=(dcfg, bank), steps_per_call=k)
 
+    check = None
+    if args.check:
+        check = run_check(cfg)
+
     def run(ncalls, state):
         t0 = time.perf_counter()
         m = None
@@ -95,6 +165,16 @@ def main():
 
     # warmup/compile
     _, state = run(1, state)
+    if check is not None:
+        import numpy as np
+        # thread the state: the step donates its input buffers
+        state, m_chk = step_fn(state)
+        final_loss = float(jax.device_get(m_chk["losses/total"][-1]))
+        check["k_step_loss_finite"] = bool(np.isfinite(final_loss))
+        if not check["k_step_loss_finite"]:
+            raise AssertionError(
+                f"bench --check FAILED: non-finite loss {final_loss} "
+                f"after {2 * k} fused steps")
 
     per_step = []
     for r in range(max(1, args.repeats)):
@@ -107,9 +187,10 @@ def main():
     per_step.sort()
     best, median = per_step[0], per_step[len(per_step) // 2]
     ips = args.batch / best
-    print(json.dumps({
+    out = {
         "metric": "train images/sec/chip, 128x128 scattered-MNIST, "
-                  f"batch {args.batch}, {args.mode} inference "
+                  f"batch {args.batch}, {args.mode} inference, "
+                  f"{cfg.compute_dtype} compute "
                   "(delta-timed, D2H-forced)",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
@@ -118,7 +199,29 @@ def main():
                    "ms_per_step_median": round(median * 1e3, 3),
                    "ms_per_step_worst": round(per_step[-1] * 1e3, 3),
                    "trials": len(per_step)},
-    }))
+    }
+    if check is not None:
+        out["check"] = check
+
+    # GFLOP/step + model FLOP utilization from XLA's own cost analysis of
+    # the compiled K-step program, so img/s claims are normalized against
+    # the chip's peak, not only against the reference baseline ratio.
+    # v5e peak: 197 TFLOP/s bf16; f32 runs as multi-pass bf16 (~1/4).
+    try:
+        # the K-step lax.scan lowers to a while loop whose body (ONE full
+        # train step) the HLO cost analysis counts exactly once — so the
+        # program's flop count IS per-step. Inner scans (the 31 wavefront
+        # fronts) are likewise counted once, undercounting their ~3% share;
+        # treat the number as a tight lower bound.
+        ca = step_fn.lower(state).compile().cost_analysis()
+        flops = float(ca.get("flops", 0.0))
+        peak = 197e12 if cfg.compute_dtype == "bfloat16" else 49e12
+        if flops > 0:
+            out["gflop_per_step"] = round(flops / 1e9, 2)
+            out["mfu_pct"] = round(100.0 * flops / best / peak, 2)
+    except Exception:
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -24,6 +24,8 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--k", type=int, default=25, help="steps per dispatch")
     p.add_argument("--trials", type=int, default=2)
+    p.add_argument("--only", default=None,
+                   help="substring filter on variant names")
     args = p.parse_args()
 
     from spair_pytorch_tpu.config import paper_config
@@ -33,10 +35,21 @@ def main():
     bank = jnp.asarray(glyph_bank((14, 14)))
     k = args.k
 
+    def flops_of(step, state):
+        # the K-step while-loop body (one train step) is counted once by
+        # the HLO cost analysis -> already per-step; inner scan fronts are
+        # also counted once (a few % undercount). Tight lower bound.
+        try:
+            ca = step.lower(state).compile().cost_analysis()
+            return float(ca.get("flops", 0.0))
+        except Exception:
+            return 0.0
+
     def measure(cfg):
         dcfg = DataConfig(image_hw=cfg.image_shape[1:], max_objects=6)
         step = make_train_step(cfg, datagen=(dcfg, bank), steps_per_call=k)
         state = create_train_state(cfg)
+        measure.flops = flops_of(step, state)
 
         def run(ncalls, state):
             t0 = time.perf_counter()
@@ -69,17 +82,37 @@ def main():
                                               scan_unroll=4)),
         ("wavefront seqKL unroll=4",     dict(inference_mode="wavefront",
                                               scan_unroll=4)),
+        ("wavefront parKL remat=dots",   dict(inference_mode="wavefront",
+                                              count_prior_parallel=True,
+                                              scan_remat_policy="dots")),
+        ("wavefront parKL v3render",     dict(inference_mode="wavefront",
+                                              count_prior_parallel=True,
+                                              render_backend="pallas_v3")),
         ("independent parKL",            dict(inference_mode="independent",
                                               count_prior_parallel=True)),
+        ("independent parKL v3render",   dict(inference_mode="independent",
+                                              count_prior_parallel=True,
+                                              render_backend="pallas_v3")),
         ("independent seqKL",            dict(inference_mode="independent")),
         ("raster parKL",                 dict(inference_mode="raster",
                                               count_prior_parallel=True)),
+        ("raster parKL unroll=8",        dict(inference_mode="raster",
+                                              count_prior_parallel=True,
+                                              scan_unroll=8)),
     ]
+    # v5e peak: 197 TFLOP/s bf16 (f32 ~1/4); MFU = XLA-counted model
+    # flops per step / wall time / peak.
+    peak = 197e12
     for name, over in variants:
+        if args.only and args.only not in name:
+            continue
         cfg = paper_config(**base, **over)
         dt = measure(cfg)
+        gf = measure.flops / 1e9
+        mfu = f" {gf:7.1f} GF {measure.flops / dt / peak * 100:5.2f}% MFU" \
+            if gf else ""
         print(f"{name:30s} {dt * 1e3:8.2f} ms/step "
-              f"{args.batch / dt:9.0f} img/s", flush=True)
+              f"{args.batch / dt:9.0f} img/s{mfu}", flush=True)
 
 
 if __name__ == "__main__":

@@ -45,16 +45,27 @@ def main():
     args = p.parse_args()
     b, k = args.batch, args.k
 
-    for backend in ("xla", "pallas"):
+    for backend in ("xla", "pallas", "pallas_v3"):
         cfg = paper_config(batch_size=b, compute_dtype="bfloat16",
                            render_backend=backend)
         params = init_params(jax.random.PRNGKey(0), cfg)
         _, (gh, gw), _ = geometry(cfg)
         rng = jax.random.PRNGKey(1)
         z_attr0 = jax.random.normal(rng, (b, gh, gw, cfg.n_attributes)) * 0.3
-        z_where0 = jnp.tile(jnp.asarray([0.5, 0.5, 0.3, 0.3]),
-                            (b, gh, gw, 1)) + \
-            jax.random.uniform(rng, (b, gh, gw, 4), minval=-0.1, maxval=0.1)
+        # cell-anchored boxes (the model's parameterization): required for
+        # a fair A/B with pallas_v3, whose static row bands assume it.
+        ih = cfg.image_shape[1]
+        cell = ih / gh
+        hh = jnp.arange(gh, dtype=jnp.float32)[None, :, None]
+        ww = jnp.arange(gw, dtype=jnp.float32)[None, None, :]
+        cy = jax.random.uniform(rng, (b, gh, gw), minval=-0.4, maxval=1.4)
+        cx = jax.random.uniform(jax.random.fold_in(rng, 1), (b, gh, gw),
+                                minval=-0.4, maxval=1.4)
+        sc = jax.random.uniform(jax.random.fold_in(rng, 2), (b, gh, gw, 2),
+                                minval=0.1, maxval=0.3)
+        z_where0 = jnp.stack([(ww + cx) * cell / ih,
+                              (hh + cy) * cell / ih,
+                              sc[..., 0], sc[..., 1]], axis=-1)
         z_depth0 = jnp.full((b, gh, gw, 1), 2.0)
         z_pres0 = jnp.full((b, gh, gw, 1), 0.7)
         hw = cfg.image_shape[1:]

@@ -164,8 +164,16 @@ class SpairConfig:
     # instead of stacking every intermediate — at batch 32 the scans are
     # residual-traffic-bound, not compute-bound. Identical math.
     scan_remat: bool = True
+    # Remat policy for the scan body: 'full' replays everything;
+    # 'dots' saves matmul outputs and replays only elementwise ops
+    # (jax.checkpoint_policies.checkpoint_dots) — trades a little
+    # residual traffic back for cheaper backward replay.
+    scan_remat_policy: str = "full"
     # Object-chunk size for the XLA compositor scan.
     render_chunk: int = 16
+    # objects per block-diagonal chunk in the v3 compositor kernel
+    # (render_backend='pallas_v3'; ops/pallas/composite_v3.py)
+    render_chunk_k: int = 4
     # Emulate the reference's discarded Self_Attn call (models.py:120):
     # registers the SAGAN-block params AND computes it every forward with
     # the output discarded, exactly like the reference — full param-count

@@ -255,6 +255,18 @@ def render(params, cfg: SpairConfig, z_attr, z_where, z_depth, z_pres,
         from spair_pytorch_tpu.ops.pallas.composite import composite_pallas
         num, den = composite_pallas(color, alpha, importance, boxes, image_hw,
                                     paste_window_rows(cfg, image_hw))
+    elif backend == "pallas_v3":
+        # object-chunk batched kernel; sound ONLY for model-generated
+        # boxes (band containment follows from the box parameterization —
+        # see composite_v3.py docstring), which is what render() passes.
+        from spair_pytorch_tpu.ops.backbone import grid_geometry
+        from spair_pytorch_tpu.ops.pallas.composite_v3 import (
+            composite_pallas_v3)
+        _, _, (cell_h, _) = grid_geometry(image_hw, cfg.backbone_topology)
+        max_ys = cfg.max_hw * cfg.anchor_shape[0] / cfg.image_shape[1]
+        num, den = composite_pallas_v3(
+            color, alpha, importance, boxes, image_hw, cell_h, (gh, gw),
+            (cfg.min_yx, cfg.max_yx, max_ys), cfg.render_chunk_k)
     else:
         num, den = composite_xla(color, alpha, importance, boxes, image_hw,
                                  cfg.render_chunk)

@@ -294,6 +294,19 @@ def _scan_inference(params, cfg, geom, x, feat_flat, noise_flat, tw, dtype,
               nbr_idx=jnp.asarray(sched["nbr_idx"]),
               write_idx=jnp.asarray(sched["write_idx"]))
 
+    # Under a (data, model) mesh, shard the wavefront LANE axis over
+    # 'model': each front's up-to-K independent cells split across chips
+    # (all heads + glimpse crop are batched over (B, K, ·)); the halo
+    # board stays replicated, so GSPMD inserts one all-gather of the
+    # 56-dim context vectors per front for the board update. Only applied
+    # when K divides the model axis (K = ceil(gw / (n_lookback+1))-class).
+    from spair_pytorch_tpu.parallel.constraints import (constrain,
+                                                        model_axis_size)
+    shard_lanes = k % max(1, model_axis_size()) == 0
+
+    def lane_constrain(t):  # (B, K, D) lane-axis sharding
+        return constrain(t, "data", "model", None) if shard_lanes else t
+
     # Output packing layout, derived once by abstract evaluation (no FLOPs).
     out_shapes = jax.eval_shape(
         lambda f, c, nz, hw: cell_step(params, cfg, geom, x, f, c, nz, hw,
@@ -311,15 +324,22 @@ def _scan_inference(params, cfg, geom, x, feat_flat, noise_flat, tw, dtype,
                       jnp.split(step_xs["noise"],
                                 np.cumsum(noise_widths)[:-1], axis=-1)))
         ctx = jnp.take(board, step_xs["nbr_idx"].reshape(-1), axis=1)
-        ctx = ctx.reshape(b, k, cfg.context_dim)
-        out = cell_step(params, cfg, geom, x, step_xs["feats"], ctx, nz,
+        ctx = lane_constrain(ctx.reshape(b, k, cfg.context_dim))
+        out = cell_step(params, cfg, geom, x,
+                        lane_constrain(step_xs["feats"]), ctx, nz,
                         step_xs["cell_hw"], tw, dtype)
         board = board.at[:, step_xs["write_idx"]].set(out["context_vec"])
+        board = constrain(board, "data", None, None) if shard_lanes \
+            else board
         packed = jnp.concatenate(jax.tree_util.tree_leaves(out), axis=-1)
-        return board, packed
+        return board, lane_constrain(packed)
 
     if cfg.scan_remat:
-        body = jax.checkpoint(body)
+        if cfg.scan_remat_policy == "dots":
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.checkpoint_dots)
+        else:
+            body = jax.checkpoint(body)
     _, ys = jax.lax.scan(body, board0, xs, unroll=cfg.scan_unroll)
 
     perm = jnp.asarray(sched["perm"])

@@ -77,7 +77,7 @@ def _window_start(yt, ys, ih: int, win: int, oh: int):
 
 
 def _fwd_kernel(boxes_ref, g_ref, num_ref, den_ref, *, n: int, c: int,
-                oh: int, ow: int, ih: int, iw: int, win: int):
+                oh: int, ow: int, ih: int, iw: int, win: int, mm):
     nc = c + 2
     num_ref[...] = jnp.zeros(num_ref.shape, jnp.float32)
     # every one of the n objects contributes +1e-9 to den everywhere
@@ -91,9 +91,11 @@ def _fwd_kernel(boxes_ref, g_ref, num_ref, den_ref, *, n: int, c: int,
         _, py = _row_coords(y0, win, ih, yt, ys, oh)     # (win, oh)
         _, pxt = _col_coords(iw, xt, xs, ow)             # (ow, iw)
         g = g_ref[0, o]                                  # (oh, nc*ow)
-        t = jnp.dot(py, g, preferred_element_type=jnp.float32)  # (win, nc*ow)
+        t = jnp.dot(py.astype(mm), g,
+                    preferred_element_type=jnp.float32)  # (win, nc*ow)
 
-        planes = [jnp.dot(t[:, k * ow:(k + 1) * ow], pxt,
+        pxt_mm = pxt.astype(mm)
+        planes = [jnp.dot(t[:, k * ow:(k + 1) * ow].astype(mm), pxt_mm,
                           preferred_element_type=jnp.float32)
                   for k in range(nc)]                    # each (win, iw)
         alp, imp = planes[c], planes[c + 1]
@@ -108,7 +110,7 @@ def _fwd_kernel(boxes_ref, g_ref, num_ref, den_ref, *, n: int, c: int,
 
 def _bwd_kernel(boxes_ref, g_ref, dnum_ref, dden_ref, dg_ref, dbox_ref, *,
                 n: int, c: int, oh: int, ow: int, ih: int, iw: int,
-                win: int):
+                win: int, mm):
     nc = c + 2
 
     def body(o, _):
@@ -117,9 +119,10 @@ def _bwd_kernel(boxes_ref, g_ref, dnum_ref, dden_ref, dg_ref, dbox_ref, *,
         y0 = _window_start(yt, ys, ih, win, oh)
         src_y, py = _row_coords(y0, win, ih, yt, ys, oh)
         src_x, pxt = _col_coords(iw, xt, xs, ow)
+        py_mm, pxt_mm = py.astype(mm), pxt.astype(mm)
         g = g_ref[0, o]
-        t = jnp.dot(py, g, preferred_element_type=jnp.float32)
-        planes = [jnp.dot(t[:, k * ow:(k + 1) * ow], pxt,
+        t = jnp.dot(py_mm, g, preferred_element_type=jnp.float32)
+        planes = [jnp.dot(t[:, k * ow:(k + 1) * ow].astype(mm), pxt_mm,
                           preferred_element_type=jnp.float32)
                   for k in range(nc)]
         alp, imp = planes[c], planes[c + 1]
@@ -139,22 +142,25 @@ def _bwd_kernel(boxes_ref, g_ref, dnum_ref, dden_ref, dg_ref, dbox_ref, *,
         dpxt = jnp.zeros((ow, iw), jnp.float32)
         for k in range(nc):
             t_k = t[:, k * ow:(k + 1) * ow]              # (win, ow)
+            dp_k = dplanes[k].astype(mm)
             # dT_k = dP_k @ pxt^T : contract canvas columns
             dt_k = jax.lax.dot_general(
-                dplanes[k], pxt, (((1,), (1,)), ((), ())),
+                dp_k, pxt_mm, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (win, ow)
+            dt_k_mm = dt_k.astype(mm)
             # dg_k = py^T @ dT_k : contract window rows
             dg_k = jax.lax.dot_general(
-                py, dt_k, (((0,), (0,)), ((), ())),
+                py_mm, dt_k_mm, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (oh, ow)
-            dg_ref[0, o, :, k * ow:(k + 1) * ow] = dg_k
+            dg_ref[0, o, :, k * ow:(k + 1) * ow] = dg_k.astype(
+                dg_ref.dtype)
             # dpy += dT_k @ g_k^T : contract glimpse columns
             dpy += jax.lax.dot_general(
-                dt_k, g[:, k * ow:(k + 1) * ow], (((1,), (1,)), ((), ())),
+                dt_k_mm, g[:, k * ow:(k + 1) * ow], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (win, oh)
             # dpxt += T_k^T @ dP_k : contract window rows
             dpxt += jax.lax.dot_general(
-                t_k, dplanes[k], (((0,), (0,)), ((), ())),
+                t_k.astype(mm), dp_k, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (ow, iw)
 
         # hat-weight derivatives: w = relu(1 - |src - a|) with
@@ -197,16 +203,25 @@ def _resolve_win(win_rows, ih):
     return max(8, min(ih, win_rows))
 
 
+def _mm_dtype(color):
+    """Matmul operand precision: when the surrounding model computes in
+    bf16, run the paste matmuls on the MXU's native bf16 path (weights and
+    glimpses are all in [0, 2]; accumulation stays f32 via
+    preferred_element_type) — f32 matmuls cost multiple MXU passes each.
+    Box COORDINATE math always stays f32."""
+    return jnp.bfloat16 if color.dtype == jnp.bfloat16 else jnp.float32
+
+
 def _fwd_impl(color, alpha, importance, boxes, image_hw, win_rows):
     b, n, c, oh, ow = color.shape
     ih, iw = image_hw
     win = _resolve_win(win_rows, ih)
-    g = _pack(color.astype(jnp.float32), alpha.astype(jnp.float32),
-              importance.astype(jnp.float32))
+    mm = _mm_dtype(color)
+    g = _pack(color.astype(mm), alpha.astype(mm), importance.astype(mm))
     boxes = boxes.astype(jnp.float32)
 
     kernel = functools.partial(_fwd_kernel, n=n, c=c, oh=oh, ow=ow,
-                               ih=ih, iw=iw, win=win)
+                               ih=ih, iw=iw, win=win, mm=mm)
     interpret = jax.default_backend() == "cpu"
     num, den = pl.pallas_call(
         kernel,
@@ -244,12 +259,12 @@ def _bwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
     b, n, c, oh, ow = color.shape
     ih, iw = image_hw
     win = _resolve_win(win_rows, ih)
-    g = _pack(color.astype(jnp.float32), alpha.astype(jnp.float32),
-              importance.astype(jnp.float32))
+    mm = _mm_dtype(color)
+    g = _pack(color.astype(mm), alpha.astype(mm), importance.astype(mm))
     boxes32 = boxes.astype(jnp.float32)
 
     kernel = functools.partial(_bwd_kernel, n=n, c=c, oh=oh, ow=ow,
-                               ih=ih, iw=iw, win=win)
+                               ih=ih, iw=iw, win=win, mm=mm)
     interpret = jax.default_backend() == "cpu"
     dg, dbox = pl.pallas_call(
         kernel,
@@ -271,7 +286,7 @@ def _bwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, oh, (c + 2) * ow), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, oh, (c + 2) * ow), mm),
             jax.ShapeDtypeStruct((b, n, 4), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(

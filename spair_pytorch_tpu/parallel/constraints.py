@@ -35,6 +35,12 @@ def model_axis_active() -> bool:
     return _MESH is not None and _MESH.shape.get("model", 1) > 1
 
 
+def model_axis_size() -> int:
+    """Size of the active 'model' axis (1 when no mesh is installed) —
+    lets callers gate lane/cell constraints on divisibility."""
+    return _MESH.shape.get("model", 1) if _MESH is not None else 1
+
+
 def constrain(x, *spec):
     """with_sharding_constraint(x, P(*spec)) when a model axis is active."""
     if not model_axis_active():

@@ -378,6 +378,11 @@ def main(argv=None):
                    help="fold K steps into one device dispatch (fused "
                         "datagen mode only; bit-identical math, per-step "
                         "logging preserved). Keep cadences multiples of K.")
+    p.add_argument("--render-mode", default=None,
+                   choices=[None, "reference", "ordered"],
+                   help="compositing semantics: the reference's "
+                        "importance-normalized blend, or corrected "
+                        "z-depth-ordered alpha-over (overlap-heavy scenes)")
     p.add_argument("--box-prior", default="reference",
                    choices=["reference", "free"],
                    help="'reference': the reference's N(7.0,0.5) h/w-logit "
@@ -393,6 +398,8 @@ def main(argv=None):
         overrides["inference_mode"] = args.mode
     if args.grad_clip is not None:
         overrides["grad_clip_norm"] = args.grad_clip
+    if args.render_mode:
+        overrides["render_mode"] = args.render_mode
     if args.box_prior == "free":
         from spair_pytorch_tpu.config import free_box_priors
         overrides["priors"] = free_box_priors()

@@ -154,6 +154,33 @@ class TestWindowedV2:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=5e-4)
 
+    def test_bf16_operand_path(self):
+        # bf16 model compute routes the paste matmuls through the MXU's
+        # native bf16 path (composite.py::_mm_dtype); parity vs the f32
+        # XLA compositor within bf16 tolerance, fwd AND grads.
+        color, alpha, imp, boxes = make_inputs_c(3, c=2)
+        hw = (48, 48)
+        bf = [t.astype(jnp.bfloat16) for t in (color, alpha, imp)]
+
+        def loss_p(co, al, im, bx):
+            num, den = composite_pallas(co, al, im, bx, hw, None)
+            return jnp.sum((num / den) ** 2)
+
+        def loss_x(co, al, im, bx):
+            num, den = composite_xla(co, al, im, bx, hw, 4)
+            return jnp.sum((num / den) ** 2)
+
+        vp, gp = jax.value_and_grad(loss_p, argnums=(0, 1, 2, 3))(
+            *bf, boxes)
+        vx, gx = jax.value_and_grad(loss_x, argnums=(0, 1, 2, 3))(
+            color, alpha, imp, boxes)
+        assert np.isclose(float(vp), float(vx), rtol=3e-2)
+        for a, b in zip(gp, gx):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b)
+            denom = max(1e-3, float(np.max(np.abs(b))))
+            assert float(np.max(np.abs(a - b))) / denom < 6e-2
+
     def test_window_rows_derivation(self):
         from tests.test_model import tiny_config
         from spair_pytorch_tpu.models.render import paste_window_rows
@@ -163,3 +190,118 @@ class TestWindowedV2:
         max_ys = cfg.max_hw * cfg.anchor_shape[0] / cfg.image_shape[1]
         assert win >= min(ih, int(np.ceil(max_ys * (ih - 1))) + 3)
         assert win <= ih and win % 8 == 0 or win == ih
+
+
+def make_banded_inputs(seed, b=2, gh=4, gw=4, c=1, oh=14, ow=14, ih=48,
+                       iw=48, cell=12, min_cy=-0.5, max_cy=1.5, max_ys=0.5):
+    """Boxes from the MODEL's parameterization (cell-anchored, sigma-
+    bounded scales) — the precondition composite_pallas_v3 documents."""
+    rng = np.random.RandomState(seed)
+    n = gh * gw
+    col = rng.rand(b, n, c, oh, ow).astype("f")
+    alp = rng.rand(b, n, 1, oh, ow).astype("f")
+    imp = (rng.rand(b, n, 1, oh, ow) + 0.01).astype("f")
+    hh, ww = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+    yt = (hh.ravel()[None] + rng.uniform(min_cy, max_cy, (b, n))) * cell / ih
+    xt = (ww.ravel()[None] + rng.uniform(min_cy, max_cy, (b, n))) * cell / iw
+    ys = rng.uniform(0.05, max_ys, (b, n))
+    xs = rng.uniform(0.05, max_ys, (b, n))
+    boxes = np.stack([xt, yt, xs, ys], -1).astype("f")
+    args = tuple(map(jnp.asarray, (col, alp, imp, boxes)))
+    meta = (cell, (gh, gw), (min_cy, max_cy, max_ys))
+    return args, meta
+
+
+class TestV3ChunkedKernel:
+    """Object-chunk batched kernel (composite_v3.py) vs the XLA path."""
+
+    @pytest.mark.parametrize("chunk_k", [1, 2, 4])
+    def test_fwd_and_grads_match_xla(self, chunk_k):
+        from spair_pytorch_tpu.ops.pallas.composite_v3 import (
+            composite_pallas_v3)
+        (col, alp, imp, boxes), (cell, ghw, bounds) = make_banded_inputs(0)
+
+        def lp(co, al, im, bx):
+            num, den = composite_pallas_v3(co, al, im, bx, (48, 48), cell,
+                                           ghw, bounds, chunk_k=chunk_k)
+            return jnp.sum((num / den) ** 2)
+
+        def lr(co, al, im, bx):
+            num, den = composite_xla(co, al, im, bx, (48, 48), 8)
+            return jnp.sum((num / den) ** 2)
+
+        vp, gp = jax.value_and_grad(lp, argnums=(0, 1, 2, 3))(
+            col, alp, imp, boxes)
+        vr, gr = jax.value_and_grad(lr, argnums=(0, 1, 2, 3))(
+            col, alp, imp, boxes)
+        assert np.isclose(float(vp), float(vr), rtol=1e-5)
+        for a, bb in zip(gp, gr):
+            denom = max(1e-6, float(np.max(np.abs(bb))))
+            assert float(np.max(np.abs(np.asarray(a) - np.asarray(bb)))
+                         ) / denom < 1e-3
+
+    def test_multichannel_bf16(self):
+        from spair_pytorch_tpu.ops.pallas.composite_v3 import (
+            composite_pallas_v3)
+        (col, alp, imp, boxes), (cell, ghw, bounds) = make_banded_inputs(
+            1, c=3)
+        bf = [t.astype(jnp.bfloat16) for t in (col, alp, imp)]
+
+        def lp(co, al, im, bx):
+            num, den = composite_pallas_v3(co, al, im, bx, (48, 48), cell,
+                                           ghw, bounds, chunk_k=2)
+            return jnp.sum((num / den) ** 2)
+
+        def lr(co, al, im, bx):
+            num, den = composite_xla(co, al, im, bx, (48, 48), 8)
+            return jnp.sum((num / den) ** 2)
+
+        vp, gp = jax.value_and_grad(lp, argnums=(0, 1, 2, 3))(*bf, boxes)
+        vr, gr = jax.value_and_grad(lr, argnums=(0, 1, 2, 3))(
+            col, alp, imp, boxes)
+        assert np.isclose(float(vp), float(vr), rtol=3e-2)
+        for a, bb in zip(gp, gr):
+            a = np.asarray(a, np.float32)
+            denom = max(1e-3, float(np.max(np.abs(np.asarray(bb)))))
+            assert float(np.max(np.abs(a - np.asarray(bb)))) / denom < 6e-2
+
+    def test_band_geometry_paper(self):
+        from spair_pytorch_tpu.ops.pallas.composite_v3 import band_geometry
+        band, starts = band_geometry((128, 128), 12, -0.5, 1.5, 0.375,
+                                     28, 11)
+        assert band == 88 and band % 8 == 0
+        assert starts[0] == 0 and starts[-1] == 128 - band
+        assert all(s % 8 == 0 for s in starts)
+        # every row's worst-case support fits its window
+        k = 1.0 + 2.0 / 27
+        for h in range(11):
+            lo = ((h - 0.5) * 12 / 128 - 0.375 * k / 2) * 127 - 1
+            hi = ((h + 1.5) * 12 / 128 + 0.375 * k / 2) * 127 + 1
+            assert starts[h] <= max(0, int(np.floor(lo)))
+            assert starts[h] + band >= min(127, int(np.ceil(hi)))
+
+    def test_render_backend_v3(self):
+        from tests.test_model import tiny_config
+        from spair_pytorch_tpu.models import init_params
+        from spair_pytorch_tpu.models.render import render
+        cfg_x = tiny_config(render_backend="xla")
+        cfg_v = tiny_config(render_backend="pallas_v3", render_chunk_k=2)
+        params = init_params(jax.random.PRNGKey(0), cfg_x)
+        b, gh, gw = 2, 4, 4
+        rng = np.random.RandomState(5)
+        z_attr = jnp.asarray(rng.randn(b, gh, gw, cfg_x.n_attributes)
+                             .astype("f") * 0.3)
+        hh, ww = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+        yt = (hh[None] + rng.uniform(-0.4, 1.4, (b, gh, gw))) * 12 / 48
+        xt = (ww[None] + rng.uniform(-0.4, 1.4, (b, gh, gw))) * 12 / 48
+        sc = rng.uniform(0.1, 0.4, (b, gh, gw, 2))
+        z_where = jnp.asarray(np.stack([xt, yt, sc[..., 0], sc[..., 1]],
+                                       -1).astype("f"))
+        z_depth = jnp.full((b, gh, gw, 1), 2.0)
+        z_pres = jnp.full((b, gh, gw, 1), 0.7)
+        out_x = render(params, cfg_x, z_attr, z_where, z_depth, z_pres,
+                       (48, 48))
+        out_v = render(params, cfg_v, z_attr, z_where, z_depth, z_pres,
+                       (48, 48))
+        np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_x),
+                                   rtol=1e-4, atol=1e-5)

@@ -72,6 +72,30 @@ class TestDataParallel:
         assert np.isclose(float(m_sd["losses/total"]),
                           float(m_2d["losses/total"]), rtol=1e-4)
 
+    def test_wavefront_lane_sharding_matches_single_device(
+            self, eight_devices):
+        """(data=4, model=2) with the WAVEFRONT scan: the 'model' axis
+        shards each front's lane axis (models/spair.py lane_constrain);
+        must reproduce the single-device loss."""
+        from spair_pytorch_tpu.parallel import set_constraint_mesh
+        cfg = tiny_config(inference_mode="wavefront", batch_size=8)
+        state_sd = create_train_state(cfg)
+        state_2d = jax.tree_util.tree_map(lambda t: t.copy(), state_sd)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (8, 1, 48, 48))
+
+        step_sd = make_train_step(cfg, donate=False)
+        _, m_sd = step_sd(state_sd, x)
+
+        mesh = make_mesh(n_data=4, n_model=2, devices=eight_devices)
+        try:
+            step_2d = make_train_step(cfg, mesh, donate=False)
+            _, m_2d = step_2d(replicate(mesh, state_2d),
+                              shard_batch(mesh, x))
+        finally:
+            set_constraint_mesh(None)
+        assert np.isclose(float(m_sd["losses/total"]),
+                          float(m_2d["losses/total"]), rtol=1e-4)
+
 
 class TestGraftEntry:
     def test_entry_compiles(self):
