@@ -88,9 +88,27 @@ def run_check(cfg):
     grad_err = max(
         float(np.max(np.abs(a - b_)) / max(1.0, np.max(np.abs(b_))))
         for a, b_ in zip(gp, gr))
-    ok = bool(np.isfinite(lp)) and fwd_err < 1e-4 and grad_err < 1e-3
+    # Second leg: bf16 glimpse inputs select the kernel's bf16
+    # planes/accumulator path (the shipped bf16-compute training default) —
+    # compared against the f32 XLA truth above, so the measured error is
+    # the TOTAL bf16-path error, not bf16-vs-bf16 agreement. Boxes stay
+    # f32 (the kernel upcasts them regardless; the train step keeps boxes
+    # f32 too). Accumulating 121 objects in bf16 bounds relerr ~ O(2^-8).
+    args_bf = tuple(a.astype(jnp.bfloat16) for a in args_[:3]) + (boxes,)
+    lb, gb = jax.device_get(
+        jax.jit(jax.value_and_grad(pal, argnums=(0, 1, 2, 3)))(*args_bf))
+    bf_fwd_err = abs(float(lb) - lr) / max(1.0, abs(lr))
+    bf_grad_err = max(
+        float(np.max(np.abs(np.asarray(a, np.float32) - b_))
+              / max(1.0, np.max(np.abs(b_))))
+        for a, b_ in zip(gb, gr))
+    ok = (bool(np.isfinite(lp)) and fwd_err < 1e-4 and grad_err < 1e-3
+          and bool(np.isfinite(float(lb)))
+          and bf_fwd_err < 3e-2 and bf_grad_err < 6e-2)
     result = {"pallas_vs_xla_fwd_relerr": float(f"{fwd_err:.3g}"),
               "pallas_vs_xla_grad_relerr": float(f"{grad_err:.3g}"),
+              "bf16_path_fwd_relerr": float(f"{bf_fwd_err:.3g}"),
+              "bf16_path_grad_relerr": float(f"{bf_grad_err:.3g}"),
               "passed": ok}
     if not ok:
         raise AssertionError(f"bench --check FAILED: {result}")
@@ -117,6 +135,8 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--count-kl", default=None, choices=[None, "seq", "par"],
                    help="override count-prior KL implementation")
+    p.add_argument("--remat", default=None, choices=[None, "full", "dots"],
+                   help="override scan remat policy (config default: full)")
     p.add_argument("--baseline-ips", type=float,
                    default=REFERENCE_BASELINE_IPS)
     p.add_argument("--check", action="store_true",
@@ -139,6 +159,8 @@ def main():
         overrides["render_backend"] = args.render
     if args.count_kl:
         overrides["count_prior_parallel"] = args.count_kl == "par"
+    if args.remat:
+        overrides["scan_remat_policy"] = args.remat
     cfg = paper_config(**overrides)
 
     import jax.numpy as jnp

@@ -80,8 +80,6 @@ def main():
         ("wavefront parKL unroll=4",     dict(inference_mode="wavefront",
                                               count_prior_parallel=True,
                                               scan_unroll=4)),
-        ("wavefront seqKL unroll=4",     dict(inference_mode="wavefront",
-                                              scan_unroll=4)),
         ("wavefront parKL remat=dots",   dict(inference_mode="wavefront",
                                               count_prior_parallel=True,
                                               scan_remat_policy="dots")),

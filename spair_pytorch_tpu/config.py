@@ -164,10 +164,15 @@ class SpairConfig:
     # instead of stacking every intermediate — at batch 32 the scans are
     # residual-traffic-bound, not compute-bound. Identical math.
     scan_remat: bool = True
-    # Remat policy for the scan body: 'full' replays everything;
-    # 'dots' saves matmul outputs and replays only elementwise ops
-    # (jax.checkpoint_policies.checkpoint_dots) — trades a little
-    # residual traffic back for cheaper backward replay.
+    # Remat policy for the scan body: 'full' (default) replays
+    # everything; 'dots' saves matmul outputs and replays only
+    # elementwise ops (jax.checkpoint_policies.checkpoint_dots).
+    # Identical math either way. A round-3 perf_matrix run measured
+    # 'dots' at 5.0 ms/step vs 'full' 8.5 — but the interleaved
+    # discriminator (benchmarks/remat_ab.py, both arms alternating in
+    # one process) showed dots 8.95 vs full 8.57: the 5.0 was a fast
+    # tunnel window, and 'dots' is actually ~4% SLOWER at b32. Kept as
+    # a knob; measure with remat_ab.py before switching.
     scan_remat_policy: str = "full"
     # Object-chunk size for the XLA compositor scan.
     render_chunk: int = 16

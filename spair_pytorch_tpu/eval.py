@@ -27,7 +27,7 @@ from spair_pytorch_tpu.parallel import create_train_state
 from spair_pytorch_tpu.train import make_data
 
 
-def evaluate(cfg, state, batches: int = 16, data=None, seed: int = 1234,
+def evaluate(cfg, state, batches: int = 32, data=None, seed: int = 1234,
              digits: str = "auto"):
     data = iter(data if data is not None else
                 make_data(cfg, seed=seed, digits=digits))
@@ -77,7 +77,8 @@ def main(argv=None):
     p.add_argument("--mode", default=None,
                    choices=[None, "independent", "raster", "wavefront"],
                    help="override inference mode (match how it was trained)")
-    p.add_argument("--batches", type=int, default=16)
+    p.add_argument("--batches", type=int, default=32,
+                   help="batches to pool for dataset-level AP@0.5 (32 x b32 = 1,024 scenes)")
     p.add_argument("--step", type=int, default=None,
                    help="checkpoint step (default: latest)")
     p.add_argument("--figure", default=None,
