@@ -431,3 +431,24 @@ class TestSelfAttn:
         attn = torch.softmax(energy, dim=-1)
         theirs = torch.bmm(attn, v).numpy()
         np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+class TestRematPolicy:
+    def test_gradients_identical_across_policies(self):
+        """scan_remat_policy changes only what is stored vs recomputed in
+        the scan backward — gradients must agree to recompute-reordering
+        fp noise. Guards the knob (config.py) against changing math."""
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
+        rng = jax.random.PRNGKey(2)
+        grads = []
+        for policy in ("full", "dots"):
+            cfg = tiny_config(inference_mode="wavefront",
+                              scan_remat_policy=policy)
+            params = init_params(jax.random.PRNGKey(0), cfg)
+            g = jax.grad(
+                lambda p: forward(p, cfg, x, 1500, rng)[0])(params)
+            grads.append(g)
+        for a, b in zip(jax.tree_util.tree_leaves(grads[0]),
+                        jax.tree_util.tree_leaves(grads[1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-4)
