@@ -220,6 +220,29 @@ class SpairConfig:
         return self.context_neighbors * self.context_elem_dim
 
 
+def config_to_json(cfg: SpairConfig) -> str:
+    """Serialize a config for run-dir persistence (train writes
+    <logdir>/config.json; eval prefers it over CLI reconstruction)."""
+    import json
+    return json.dumps(dataclasses.asdict(cfg), indent=1)
+
+
+def config_from_json(text: str) -> SpairConfig:
+    """Inverse of config_to_json. JSON turns tuples into lists and nested
+    Schedule dataclasses into dicts; coerce both back so the result is the
+    same hashable frozen dataclass."""
+    import json
+
+    def coerce(v):
+        if isinstance(v, list):
+            return tuple(coerce(x) for x in v)
+        if isinstance(v, dict):  # nested dataclass (Schedule)
+            return Schedule(**{k: coerce(x) for k, x in v.items()})
+        return v
+
+    return SpairConfig(**{k: coerce(v) for k, v in json.loads(text).items()})
+
+
 def paper_config(**overrides) -> SpairConfig:
     """BASELINE config 2: 128x128 scattered-MNIST, reference hyperparams."""
     return SpairConfig(**overrides)

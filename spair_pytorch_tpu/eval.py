@@ -89,12 +89,24 @@ def main(argv=None):
                         "what training used)")
     args = p.parse_args(argv)
 
+    import dataclasses
     import os
 
     from spair_pytorch_tpu.utils.checkpoint import CheckpointManager
 
     overrides = {"inference_mode": args.mode} if args.mode else {}
-    cfg = PRESETS[args.preset](**overrides)
+    saved = os.path.join(args.logdir, "config.json")
+    if os.path.exists(saved):
+        # prefer the run's own persisted config (written by train) so the
+        # eval forward matches how the checkpoint was trained; CLI --mode
+        # still overrides.
+        from spair_pytorch_tpu.config import config_from_json
+        with open(saved) as f:
+            cfg = config_from_json(f.read())
+        if overrides:
+            cfg = dataclasses.replace(cfg, **overrides)
+    else:
+        cfg = PRESETS[args.preset](**overrides)
     state = create_train_state(cfg)
     mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"))
     restored = mgr.restore(state, step=args.step, params_only=True)

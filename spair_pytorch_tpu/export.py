@@ -41,7 +41,14 @@ def main(argv=None):
 
     import torch  # serialization only
 
-    cfg = PRESETS[args.preset]()
+    saved = os.path.join(args.logdir, "config.json")
+    if os.path.exists(saved):
+        # prefer the run's persisted config (see eval.py)
+        from spair_pytorch_tpu.config import config_from_json
+        with open(saved) as f:
+            cfg = config_from_json(f.read())
+    else:
+        cfg = PRESETS[args.preset]()
     state = create_train_state(cfg)
     mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"))
 

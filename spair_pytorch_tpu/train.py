@@ -83,6 +83,12 @@ def train(cfg: SpairConfig,
         stamp = datetime.datetime.now().strftime("%b-%d-%H%M%S")
         logdir = os.path.join("logs_v2", stamp)
     writer = MetricWriter(logdir)
+    # persist the exact config so eval/export can reconstruct the run
+    # without re-deriving preset+flags (eval.py prefers this file)
+    from spair_pytorch_tpu.config import config_to_json
+    os.makedirs(logdir, exist_ok=True)
+    with open(os.path.join(logdir, "config.json"), "w") as f:
+        f.write(config_to_json(cfg))
 
     mesh = make_mesh() if use_mesh else None
     state = create_train_state(cfg)

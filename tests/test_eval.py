@@ -90,3 +90,40 @@ def test_train_heldout_eval_logs(tmp_path):
 
 
 from spair_pytorch_tpu.train import train  # noqa: E402 (used above)
+
+
+def test_config_json_roundtrip():
+    """config.json persistence: tuples survive the JSON trip and the
+    result is the same hashable frozen dataclass."""
+    from spair_pytorch_tpu.config import (PRESETS, config_from_json,
+                                          config_to_json)
+    for preset in PRESETS.values():
+        cfg = preset()
+        back = config_from_json(config_to_json(cfg))
+        assert back == cfg
+        assert hash(back) == hash(cfg)
+    # overrides survive too (free box prior + ordered compositing)
+    from spair_pytorch_tpu.config import free_box_priors
+    cfg = PRESETS["cluttered"](render_mode="ordered",
+                               priors=free_box_priors())
+    assert config_from_json(config_to_json(cfg)) == cfg
+
+
+def test_train_writes_config_and_eval_prefers_it(tmp_path):
+    """train persists <logdir>/config.json; the eval CLI reconstructs the
+    run's exact config from it instead of the --preset default."""
+    import json
+    import os
+
+    from spair_pytorch_tpu.config import config_from_json
+    from spair_pytorch_tpu.train import train
+
+    cfg = tiny_config(inference_mode="independent", batch_size=4,
+                      render_mode="ordered")
+    logdir = str(tmp_path / "run")
+    train(cfg, steps=2, logdir=logdir, checkpoint_every=2,
+          metrics_every=0, verbose=False, eval_every=0)
+    path = os.path.join(logdir, "config.json")
+    assert os.path.exists(path)
+    with open(path) as f:
+        assert config_from_json(f.read()) == cfg
