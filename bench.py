@@ -102,13 +102,36 @@ def run_check(cfg):
         float(np.max(np.abs(np.asarray(a, np.float32) - b_))
               / max(1.0, np.max(np.abs(b_))))
         for a, b_ in zip(gb, gr))
+    # Third leg: the presence-GATED kernel (pl.when skip of dead objects)
+    # vs the gate-masked XLA truth. The gated kernel is a different Mosaic
+    # program from the dense one (scalar-core branches, zero-writes in the
+    # backward) — the two bf16 bugs round 3 caught were exactly this class
+    # of CPU-interpret-passes/hardware-fails, so it gets its own gate.
+    gate = (jax.random.uniform(jax.random.PRNGKey(11), (b, n)) > 0.7
+            ).astype(jnp.float32)
+    pal_g = loss_of(lambda co, al, im, bx: composite_pallas(
+        co, al, im, bx, image_hw, win, pres_gate=gate))
+    gm = gate[:, :, None, None, None]
+    ref_g = loss_of(lambda co, al, im, bx: composite_xla(
+        co * gm, al * gm, im * gm, bx, image_hw, cfg.render_chunk))
+    (lg, gg), (lgr, ggr) = jax.device_get(
+        (jax.jit(jax.value_and_grad(pal_g, argnums=(0, 1, 2, 3)))(*args_),
+         jax.jit(jax.value_and_grad(ref_g, argnums=(0, 1, 2, 3)))(*args_)))
+    gate_fwd_err = abs(lg - lgr) / max(1.0, abs(lgr))
+    gate_grad_err = max(
+        float(np.max(np.abs(a - b_)) / max(1.0, np.max(np.abs(b_))))
+        for a, b_ in zip(gg, ggr))
     ok = (bool(np.isfinite(lp)) and fwd_err < 1e-4 and grad_err < 1e-3
           and bool(np.isfinite(float(lb)))
-          and bf_fwd_err < 3e-2 and bf_grad_err < 6e-2)
+          and bf_fwd_err < 3e-2 and bf_grad_err < 6e-2
+          and bool(np.isfinite(lg))
+          and gate_fwd_err < 1e-4 and gate_grad_err < 1e-3)
     result = {"pallas_vs_xla_fwd_relerr": float(f"{fwd_err:.3g}"),
               "pallas_vs_xla_grad_relerr": float(f"{grad_err:.3g}"),
               "bf16_path_fwd_relerr": float(f"{bf_fwd_err:.3g}"),
               "bf16_path_grad_relerr": float(f"{bf_grad_err:.3g}"),
+              "gated_vs_masked_xla_fwd_relerr": float(f"{gate_fwd_err:.3g}"),
+              "gated_vs_masked_xla_grad_relerr": float(f"{gate_grad_err:.3g}"),
               "passed": ok}
     if not ok:
         raise AssertionError(f"bench --check FAILED: {result}")

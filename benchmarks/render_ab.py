@@ -1,5 +1,10 @@
 """Honest A/B: XLA chunk-scan compositor vs Pallas v2 kernel, fwd and
-fwd+bwd, paper-config shapes (b32, 121 objects, 128x128). Delta-timed."""
+fwd+bwd, paper-config shapes (b32, 121 objects, 128x128). Delta-timed.
+
+--gate LIVE: presence-gated arm — LIVE of the 121 objects get z_pres 0.7,
+the rest 0.001 (below the 0.01 gate threshold), matching the post-count-
+prior sparsity of real training (1-12 live objects). Measures how much of
+the compositor's per-object serial floor the pl.when skip recovers."""
 
 import argparse
 import os
@@ -42,12 +47,20 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--k", type=int, default=30)
+    p.add_argument("--gate", type=int, default=0, metavar="LIVE",
+                   help="presence-gated arm: LIVE objects at z_pres 0.7, "
+                        "rest at 0.001 with pres_gate_threshold=0.01")
+    p.add_argument("--backends", default=None,
+                   help="comma list (default: xla,pallas,pallas_v3)")
     args = p.parse_args()
     b, k = args.batch, args.k
 
-    for backend in ("xla", "pallas", "pallas_v3"):
+    backends = (args.backends.split(",") if args.backends
+                else ("xla", "pallas", "pallas_v3"))
+    for backend in backends:
         cfg = paper_config(batch_size=b, compute_dtype="bfloat16",
-                           render_backend=backend)
+                           render_backend=backend,
+                           pres_gate_threshold=0.01 if args.gate else 0.0)
         params = init_params(jax.random.PRNGKey(0), cfg)
         _, (gh, gw), _ = geometry(cfg)
         rng = jax.random.PRNGKey(1)
@@ -67,7 +80,15 @@ def main():
                               (hh + cy) * cell / ih,
                               sc[..., 0], sc[..., 1]], axis=-1)
         z_depth0 = jnp.full((b, gh, gw, 1), 2.0)
-        z_pres0 = jnp.full((b, gh, gw, 1), 0.7)
+        if args.gate:
+            # LIVE objects per image at 0.7, the rest just below the gate
+            flat_pres = jnp.full((b, gh * gw), 0.001)
+            live_idx = jax.random.permutation(
+                jax.random.PRNGKey(9), gh * gw)[:args.gate]
+            flat_pres = flat_pres.at[:, live_idx].set(0.7)
+            z_pres0 = flat_pres.reshape(b, gh, gw, 1)
+        else:
+            z_pres0 = jnp.full((b, gh, gw, 1), 0.7)
         hw = cfg.image_shape[1:]
         if backend == "pallas":
             print(f"  (window rows: {paste_window_rows(cfg, hw)})")

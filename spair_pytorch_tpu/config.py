@@ -174,6 +174,17 @@ class SpairConfig:
     # tunnel window, and 'dots' is actually ~4% SLOWER at b32. Kept as
     # a knob; measure with remat_ab.py before switching.
     scan_remat_policy: str = "full"
+    # Presence-gated compositing (0 = off, reference parity). When > 0,
+    # objects with relaxed z_pres below the threshold are skipped by the
+    # compositor entirely (Pallas kernel branches past the paste; other
+    # backends mask the glimpses). After the count prior engages (~step
+    # 1000) only ~1-12 of the 121 cells are live, so the compositor's
+    # per-object serial loop — the measured per-image time floor
+    # (DESIGN.md "Compositor cost anatomy") — shrinks ~10x. APPROXIMATE
+    # for training: gated-out objects receive no reconstruction gradient
+    # (KL gradients remain), so presence must re-ignite through the count
+    # prior; quality A/B before adopting. Exact for eval/serving renders.
+    pres_gate_threshold: float = 0.0
     # Object-chunk size for the XLA compositor scan.
     render_chunk: int = 16
     # objects per block-diagonal chunk in the v3 compositor kernel

@@ -237,7 +237,24 @@ def render(params, cfg: SpairConfig, z_attr, z_where, z_depth, z_pres,
     color, alpha, importance = decode_objects(
         params, cfg, flat(z_attr), flat(z_pres), flat(z_depth), dtype)
     boxes = flat(z_where)
+
+    # Presence gating (opt-in, cfg.pres_gate_threshold > 0): objects whose
+    # relaxed z_pres falls below the threshold are dropped from the
+    # composite — semantically, their glimpse channels are zeroed (den
+    # keeps each object's +1e-9 floor). Their contribution is already tiny
+    # (alpha <= threshold, importance <= clip(4*threshold)), but gating
+    # CHANGES GRADIENTS: dropped objects get no reconstruction gradient
+    # (KL gradients remain), so training with it is an approximation. The
+    # Pallas kernel turns the gate into a branch that skips the whole
+    # paste, making compositor time scale with the live-object count.
+    gate = None
+    if cfg.pres_gate_threshold > 0.0:
+        gate = (flat(z_pres)[..., 0] > cfg.pres_gate_threshold).astype(
+            color.dtype)                                    # (B, N)
+
     if cfg.render_mode == "ordered":
+        if gate is not None:
+            alpha = alpha * gate[:, :, None, None, None]
         out = composite_ordered(color, alpha, flat(z_depth), boxes,
                                 image_hw, cfg.render_chunk)
         return jnp.clip(out, 0.0, 1.0)
@@ -251,10 +268,19 @@ def render(params, cfg: SpairConfig, z_attr, z_where, z_depth, z_pres,
         # kernel uses pltpu memory spaces and would fail to lower there.
         backend = ("pallas" if jax.default_backend() in ("tpu", "axon")
                    else "xla")
+    if gate is not None and backend != "pallas":
+        # non-skipping backends implement the gate by masking the glimpse
+        # channels — same outputs and gradients as the kernel's branch
+        # (asserted in tests/test_pallas_composite.py), no time saved.
+        gmask = gate[:, :, None, None, None]
+        color = color * gmask
+        alpha = alpha * gmask
+        importance = importance * gmask
     if backend == "pallas":
         from spair_pytorch_tpu.ops.pallas.composite import composite_pallas
         num, den = composite_pallas(color, alpha, importance, boxes, image_hw,
-                                    paste_window_rows(cfg, image_hw))
+                                    paste_window_rows(cfg, image_hw),
+                                    pres_gate=gate)
     elif backend == "pallas_v3":
         # object-chunk batched kernel; sound ONLY for model-generated
         # boxes (band containment follows from the box parameterization —

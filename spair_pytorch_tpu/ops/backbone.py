@@ -84,14 +84,21 @@ def apply_backbone(params, x_nchw, topology, pads, dtype=None):
     strides = [s for (_, _, s) in topology] + [1]
     n = len(params["layers"])
     for i, layer in enumerate(params["layers"]):
-        w, b = layer["w"], layer["b"]
-        if dtype is not None:
-            w, b = w.astype(dtype), b.astype(dtype)
-        x = jax.lax.conv_general_dilated(
-            x, w, window_strides=(strides[i], strides[i]), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=x.dtype)
-        x = x + b
+        if "w_q" in layer:  # int8 serving path (ops/quant.py)
+            from spair_pytorch_tpu.ops.quant import conv_int8
+            x = conv_int8(layer, x.astype(jnp.float32), strides[i])
+            if dtype is not None:
+                x = x.astype(dtype)
+        else:
+            w, b = layer["w"], layer["b"]
+            if dtype is not None:
+                w, b = w.astype(dtype), b.astype(dtype)
+            x = jax.lax.conv_general_dilated(
+                x, w, window_strides=(strides[i], strides[i]),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=x.dtype)
+            x = x + b
         if i < n - 1:  # no activation on the output conv
             x = jax.nn.relu(x)
     return x

@@ -43,11 +43,19 @@ def init_mlp(key, n_in: int, hidden: Sequence[int], heads: Sequence[int]):
 
 
 def apply_mlp(params, x, dtype=None):
-    """x: (..., n_in) -> tuple of head outputs (..., head_dim)."""
+    """x: (..., n_in) -> tuple of head outputs (..., head_dim).
+
+    Layers carrying int8 weights (``ops/quant.quantize_params_int8``)
+    dispatch to the int8 MXU path; mixing quantized and float layers in
+    one tree is allowed (serving-only feature)."""
     if dtype is not None:
         x = x.astype(dtype)
 
     def dense(layer, v):
+        if "w_q" in layer:
+            from spair_pytorch_tpu.ops.quant import dense_int8
+            out = dense_int8(layer, v)
+            return out.astype(dtype) if dtype is not None else out
         w, b = layer["w"], layer["b"]
         if dtype is not None:
             w, b = w.astype(dtype), b.astype(dtype)

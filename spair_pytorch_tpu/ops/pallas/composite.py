@@ -76,8 +76,14 @@ def _window_start(yt, ys, ih: int, win: int, oh: int):
     return jnp.clip(lo, 0, ih - win)
 
 
-def _fwd_kernel(boxes_ref, g_ref, num_ref, den_ref, *, n: int, c: int,
-                oh: int, ow: int, ih: int, iw: int, win: int, mm):
+def _fwd_kernel(*refs, n: int, c: int,
+                oh: int, ow: int, ih: int, iw: int, win: int, mm,
+                gated: bool = False):
+    if gated:
+        boxes_ref, gate_ref, g_ref, num_ref, den_ref = refs
+    else:
+        boxes_ref, g_ref, num_ref, den_ref = refs
+        gate_ref = None
     nc = c + 2
     num_ref[...] = jnp.zeros(num_ref.shape, jnp.float32)
     # every one of the n objects contributes +1e-9 to den everywhere
@@ -85,109 +91,152 @@ def _fwd_kernel(boxes_ref, g_ref, num_ref, den_ref, *, n: int, c: int,
     den_ref[...] = jnp.full(den_ref.shape, n * _EPS, jnp.float32)
 
     def body(o, _):
-        xt, yt = boxes_ref[o, 0], boxes_ref[o, 1]
-        xs, ys = boxes_ref[o, 2], boxes_ref[o, 3]
-        y0 = _window_start(yt, ys, ih, win, oh)
-        _, py = _row_coords(y0, win, ih, yt, ys, oh)     # (win, oh)
-        _, pxt = _col_coords(iw, xt, xs, ow)             # (ow, iw)
-        g = g_ref[0, o]                                  # (oh, nc*ow)
-        t = jnp.dot(py.astype(mm), g,
-                    preferred_element_type=jnp.float32)  # (win, nc*ow)
+        def paste():
+            xt, yt = boxes_ref[o, 0], boxes_ref[o, 1]
+            xs, ys = boxes_ref[o, 2], boxes_ref[o, 3]
+            y0 = _window_start(yt, ys, ih, win, oh)
+            _, py = _row_coords(y0, win, ih, yt, ys, oh)     # (win, oh)
+            _, pxt = _col_coords(iw, xt, xs, ow)             # (ow, iw)
+            g = g_ref[0, o]                                  # (oh, nc*ow)
+            t = jnp.dot(py.astype(mm), g,
+                        preferred_element_type=jnp.float32)  # (win, nc*ow)
 
-        pxt_mm = pxt.astype(mm)
-        planes = [jnp.dot(t[:, k * ow:(k + 1) * ow].astype(mm), pxt_mm,
-                          preferred_element_type=jnp.float32)
-                  for k in range(nc)]                    # each (win, iw)
-        alp, imp = planes[c], planes[c + 1]
-        impe = imp + _EPS
-        for k in range(c):
-            num_ref[0, k, pl.ds(y0, win), :] += alp * planes[k] * impe
-        den_ref[0, 0, pl.ds(y0, win), :] += imp
+            pxt_mm = pxt.astype(mm)
+            planes = [jnp.dot(t[:, k * ow:(k + 1) * ow].astype(mm), pxt_mm,
+                              preferred_element_type=jnp.float32)
+                      for k in range(nc)]                    # each (win, iw)
+            alp, imp = planes[c], planes[c + 1]
+            impe = imp + _EPS
+            for k in range(c):
+                num_ref[0, k, pl.ds(y0, win), :] += alp * planes[k] * impe
+            den_ref[0, 0, pl.ds(y0, win), :] += imp
+
+        if gated:
+            # presence-gated skip: the scalar core branches PAST the whole
+            # paste (weight builds, matmuls, accumulates) for gated-out
+            # objects — compositor time then scales with the number of
+            # LIVE objects, not the grid size. Semantics = compositing the
+            # gate-masked glimpses (their den +1e-9 floor is already in
+            # the init above), asserted vs composite_xla in tests.
+            pl.when(gate_ref[o, 0] != 0.0)(paste)
+        else:
+            paste()
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
 
 
-def _bwd_kernel(boxes_ref, g_ref, dnum_ref, dden_ref, dg_ref, dbox_ref, *,
-                n: int, c: int, oh: int, ow: int, ih: int, iw: int,
-                win: int, mm):
+def _bwd_kernel(*refs, n: int, c: int, oh: int, ow: int, ih: int, iw: int,
+                win: int, mm, gated: bool = False):
+    if gated:
+        boxes_ref, gate_ref, g_ref, dnum_ref, dden_ref, dg_ref, dbox_ref = refs
+    else:
+        boxes_ref, g_ref, dnum_ref, dden_ref, dg_ref, dbox_ref = refs
+        gate_ref = None
     nc = c + 2
 
     def body(o, _):
-        xt, yt = boxes_ref[o, 0], boxes_ref[o, 1]
-        xs, ys = boxes_ref[o, 2], boxes_ref[o, 3]
-        y0 = _window_start(yt, ys, ih, win, oh)
-        src_y, py = _row_coords(y0, win, ih, yt, ys, oh)
-        src_x, pxt = _col_coords(iw, xt, xs, ow)
-        py_mm, pxt_mm = py.astype(mm), pxt.astype(mm)
-        g = g_ref[0, o]
-        t = jnp.dot(py_mm, g, preferred_element_type=jnp.float32)
-        planes = [jnp.dot(t[:, k * ow:(k + 1) * ow].astype(mm), pxt_mm,
-                          preferred_element_type=jnp.float32)
-                  for k in range(nc)]
-        alp, imp = planes[c], planes[c + 1]
-        impe = imp + _EPS
+        def compute():
+            _bwd_object(o, boxes_ref, g_ref, dnum_ref, dden_ref, dg_ref,
+                        dbox_ref, n=n, c=c, oh=oh, ow=ow, ih=ih, iw=iw,
+                        win=win, mm=mm)
 
-        dden = dden_ref[0, 0, pl.ds(y0, win), :]
-        dnums = [dnum_ref[0, k, pl.ds(y0, win), :] for k in range(c)]
-        # plane cotangents (window only — outside, every factor is zero)
-        dplanes = [dnums[k] * alp * impe for k in range(c)]
-        dalp = sum(dnums[k] * planes[k] * impe for k in range(c))
-        dimp = sum(dnums[k] * alp * planes[k] for k in range(c)) + dden
-        dplanes = dplanes + [dalp, dimp]
+        if gated:
+            # gated-out objects took no part in the forward: their glimpse
+            # and box gradients are exactly zero (output refs start
+            # uninitialized in Pallas, so the zeros must be written).
+            pl.when(gate_ref[o, 0] != 0.0)(compute)
 
-        # contract back through the separable paste, on the MXU:
-        #   plane_k = (py @ g_k) @ pxt
-        dpy = jnp.zeros((win, oh), jnp.float32)
-        dpxt = jnp.zeros((ow, iw), jnp.float32)
-        for k in range(nc):
-            t_k = t[:, k * ow:(k + 1) * ow]              # (win, ow)
-            dp_k = dplanes[k].astype(mm)
-            # dT_k = dP_k @ pxt^T : contract canvas columns
-            dt_k = jax.lax.dot_general(
-                dp_k, pxt_mm, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (win, ow)
-            dt_k_mm = dt_k.astype(mm)
-            # dg_k = py^T @ dT_k : contract window rows
-            dg_k = jax.lax.dot_general(
-                py_mm, dt_k_mm, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (oh, ow)
-            dg_ref[0, o, :, k * ow:(k + 1) * ow] = dg_k.astype(
-                dg_ref.dtype)
-            # dpy += dT_k @ g_k^T : contract glimpse columns
-            dpy += jax.lax.dot_general(
-                dt_k_mm, g[:, k * ow:(k + 1) * ow], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (win, oh)
-            # dpxt += T_k^T @ dP_k : contract window rows
-            dpxt += jax.lax.dot_general(
-                t_k.astype(mm), dp_k, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (ow, iw)
+            def zero():
+                dg_ref[0, o] = jnp.zeros((oh, nc * ow), dg_ref.dtype)
+                for j in range(4):
+                    dbox_ref[o, j] = jnp.float32(0.0)
 
-        # hat-weight derivatives: w = relu(1 - |src - a|) with
-        # src = ((u - (2t-1))/s + 1)(k-1)/2  =>
-        #   dw/dsrc  = -sign(src - a) where w > 0
-        #   dsrc/dt  = -(k-1)/s
-        #   dsrc/ds  = -(src - (k-1)/2) / s
-        ay = jax.lax.broadcasted_iota(jnp.int32, (win, oh), 1).astype(
-            jnp.float32)
-        live_y = (py > 0.0).astype(jnp.float32)
-        dw_dsrc_y = -jnp.sign(src_y - ay) * live_y
-        gy = jnp.sum(dpy * dw_dsrc_y)                     # d/d src (summed)
-        gys_w = jnp.sum(dpy * dw_dsrc_y * (src_y - (oh - 1) * 0.5))
-        dbox_ref[o, 1] = gy * (-(oh - 1.0) / ys)
-        dbox_ref[o, 3] = gys_w * (-1.0 / ys)
-
-        ax = jax.lax.broadcasted_iota(jnp.int32, (ow, iw), 0).astype(
-            jnp.float32)
-        live_x = (pxt > 0.0).astype(jnp.float32)
-        dw_dsrc_x = -jnp.sign(src_x - ax) * live_x
-        gx = jnp.sum(dpxt * dw_dsrc_x)
-        gxs_w = jnp.sum(dpxt * dw_dsrc_x * (src_x - (ow - 1) * 0.5))
-        dbox_ref[o, 0] = gx * (-(ow - 1.0) / xs)
-        dbox_ref[o, 2] = gxs_w * (-1.0 / xs)
+            pl.when(gate_ref[o, 0] == 0.0)(zero)
+        else:
+            compute()
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
+
+
+def _bwd_object(o, boxes_ref, g_ref, dnum_ref, dden_ref, dg_ref, dbox_ref,
+                *, n: int, c: int, oh: int, ow: int, ih: int, iw: int,
+                win: int, mm):
+    """Backward contribution of one object (the former _bwd_kernel body,
+    factored out so the gated variant can branch past it)."""
+    nc = c + 2
+    xt, yt = boxes_ref[o, 0], boxes_ref[o, 1]
+    xs, ys = boxes_ref[o, 2], boxes_ref[o, 3]
+    y0 = _window_start(yt, ys, ih, win, oh)
+    src_y, py = _row_coords(y0, win, ih, yt, ys, oh)
+    src_x, pxt = _col_coords(iw, xt, xs, ow)
+    py_mm, pxt_mm = py.astype(mm), pxt.astype(mm)
+    g = g_ref[0, o]
+    t = jnp.dot(py_mm, g, preferred_element_type=jnp.float32)
+    planes = [jnp.dot(t[:, k * ow:(k + 1) * ow].astype(mm), pxt_mm,
+                      preferred_element_type=jnp.float32)
+              for k in range(nc)]
+    alp, imp = planes[c], planes[c + 1]
+    impe = imp + _EPS
+
+    dden = dden_ref[0, 0, pl.ds(y0, win), :]
+    dnums = [dnum_ref[0, k, pl.ds(y0, win), :] for k in range(c)]
+    # plane cotangents (window only — outside, every factor is zero)
+    dplanes = [dnums[k] * alp * impe for k in range(c)]
+    dalp = sum(dnums[k] * planes[k] * impe for k in range(c))
+    dimp = sum(dnums[k] * alp * planes[k] for k in range(c)) + dden
+    dplanes = dplanes + [dalp, dimp]
+
+    # contract back through the separable paste, on the MXU:
+    #   plane_k = (py @ g_k) @ pxt
+    dpy = jnp.zeros((win, oh), jnp.float32)
+    dpxt = jnp.zeros((ow, iw), jnp.float32)
+    for k in range(nc):
+        t_k = t[:, k * ow:(k + 1) * ow]              # (win, ow)
+        dp_k = dplanes[k].astype(mm)
+        # dT_k = dP_k @ pxt^T : contract canvas columns
+        dt_k = jax.lax.dot_general(
+            dp_k, pxt_mm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (win, ow)
+        dt_k_mm = dt_k.astype(mm)
+        # dg_k = py^T @ dT_k : contract window rows
+        dg_k = jax.lax.dot_general(
+            py_mm, dt_k_mm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (oh, ow)
+        dg_ref[0, o, :, k * ow:(k + 1) * ow] = dg_k.astype(
+            dg_ref.dtype)
+        # dpy += dT_k @ g_k^T : contract glimpse columns
+        dpy += jax.lax.dot_general(
+            dt_k_mm, g[:, k * ow:(k + 1) * ow], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (win, oh)
+        # dpxt += T_k^T @ dP_k : contract window rows
+        dpxt += jax.lax.dot_general(
+            t_k.astype(mm), dp_k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (ow, iw)
+
+    # hat-weight derivatives: w = relu(1 - |src - a|) with
+    # src = ((u - (2t-1))/s + 1)(k-1)/2  =>
+    #   dw/dsrc  = -sign(src - a) where w > 0
+    #   dsrc/dt  = -(k-1)/s
+    #   dsrc/ds  = -(src - (k-1)/2) / s
+    ay = jax.lax.broadcasted_iota(jnp.int32, (win, oh), 1).astype(
+        jnp.float32)
+    live_y = (py > 0.0).astype(jnp.float32)
+    dw_dsrc_y = -jnp.sign(src_y - ay) * live_y
+    gy = jnp.sum(dpy * dw_dsrc_y)                     # d/d src (summed)
+    gys_w = jnp.sum(dpy * dw_dsrc_y * (src_y - (oh - 1) * 0.5))
+    dbox_ref[o, 1] = gy * (-(oh - 1.0) / ys)
+    dbox_ref[o, 3] = gys_w * (-1.0 / ys)
+
+    ax = jax.lax.broadcasted_iota(jnp.int32, (ow, iw), 0).astype(
+        jnp.float32)
+    live_x = (pxt > 0.0).astype(jnp.float32)
+    dw_dsrc_x = -jnp.sign(src_x - ax) * live_x
+    gx = jnp.sum(dpxt * dw_dsrc_x)
+    gxs_w = jnp.sum(dpxt * dw_dsrc_x * (src_x - (ow - 1) * 0.5))
+    dbox_ref[o, 0] = gx * (-(ow - 1.0) / xs)
+    dbox_ref[o, 2] = gxs_w * (-1.0 / xs)
 
 
 def _pack(color, alpha, importance):
@@ -212,26 +261,34 @@ def _mm_dtype(color):
     return jnp.bfloat16 if color.dtype == jnp.bfloat16 else jnp.float32
 
 
-def _fwd_impl(color, alpha, importance, boxes, image_hw, win_rows):
+def _fwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
+              pres_gate=None):
     b, n, c, oh, ow = color.shape
     ih, iw = image_hw
     win = _resolve_win(win_rows, ih)
     mm = _mm_dtype(color)
     g = _pack(color.astype(mm), alpha.astype(mm), importance.astype(mm))
     boxes = boxes.astype(jnp.float32)
+    gated = pres_gate is not None
 
     kernel = functools.partial(_fwd_kernel, n=n, c=c, oh=oh, ow=ow,
-                               ih=ih, iw=iw, win=win, mm=mm)
+                               ih=ih, iw=iw, win=win, mm=mm, gated=gated)
     interpret = jax.default_backend() == "cpu"
+    in_specs = [
+        pl.BlockSpec((None, n, 4), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, n, oh, (c + 2) * ow), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [boxes, g]
+    if gated:
+        in_specs.insert(1, pl.BlockSpec((None, n, 1), lambda i: (i, 0, 0),
+                                        memory_space=pltpu.SMEM))
+        inputs.insert(1, pres_gate.astype(jnp.float32).reshape(b, n, 1))
     num, den = pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((None, n, 4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n, oh, (c + 2) * ow), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, c, ih, iw), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -250,35 +307,42 @@ def _fwd_impl(color, alpha, importance, boxes, image_hw, win_rows):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(boxes, g)
+    )(*inputs)
     return num, den
 
 
 def _bwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
-              dnum, dden):
+              dnum, dden, pres_gate=None):
     b, n, c, oh, ow = color.shape
     ih, iw = image_hw
     win = _resolve_win(win_rows, ih)
     mm = _mm_dtype(color)
     g = _pack(color.astype(mm), alpha.astype(mm), importance.astype(mm))
     boxes32 = boxes.astype(jnp.float32)
+    gated = pres_gate is not None
 
     kernel = functools.partial(_bwd_kernel, n=n, c=c, oh=oh, ow=ow,
-                               ih=ih, iw=iw, win=win, mm=mm)
+                               ih=ih, iw=iw, win=win, mm=mm, gated=gated)
     interpret = jax.default_backend() == "cpu"
+    in_specs = [
+        pl.BlockSpec((None, n, 4), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, n, oh, (c + 2) * ow), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c, ih, iw), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ih, iw), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [boxes32, g, dnum.astype(jnp.float32), dden.astype(jnp.float32)]
+    if gated:
+        in_specs.insert(1, pl.BlockSpec((None, n, 1), lambda i: (i, 0, 0),
+                                        memory_space=pltpu.SMEM))
+        inputs.insert(1, pres_gate.astype(jnp.float32).reshape(b, n, 1))
     dg, dbox = pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((None, n, 4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n, oh, (c + 2) * ow), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, ih, iw), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ih, iw), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, n, oh, (c + 2) * ow), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -297,7 +361,7 @@ def _bwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(boxes32, g, dnum.astype(jnp.float32), dden.astype(jnp.float32))
+    )(*inputs)
 
     # unpack dg (B, N, oh, (C+2)*ow) -> per-input gradients (B, N, C, oh, ow)
     dg = dg.reshape(b, n, oh, c + 2, ow)
@@ -310,7 +374,7 @@ def _bwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def composite_pallas(color, alpha, importance, boxes, image_hw,
-                     win_rows=None):
+                     win_rows=None, pres_gate=None):
     """Drop-in for composite_xla: returns (num, den), each (B, ·, H, W).
 
     ``win_rows``: static paste-window height (rows). Must be >= the widest
@@ -318,20 +382,32 @@ def composite_pallas(color, alpha, importance, boxes, image_hw,
     7 rows of alignment slack; ``None`` disables windowing (window = full
     height). models/render.py::paste_window_rows derives it from the
     config's max_hw / anchor bound.
+
+    ``pres_gate``: optional (B, N) float mask (0.0 / 1.0). Objects with a
+    zero gate are SKIPPED entirely (forward paste and backward gradients) —
+    identical to compositing gate-masked glimpses, but the kernel branches
+    past the work, so compositor time scales with the live-object count.
+    Gradients to gated-out objects are exactly zero (an approximation of
+    the ungated objective — opt-in for training via
+    cfg.pres_gate_threshold; exact for inference/eval rendering).
     """
-    return _fwd_impl(color, alpha, importance, boxes, image_hw, win_rows)
+    return _fwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
+                     pres_gate)
 
 
-def _fwd(color, alpha, importance, boxes, image_hw, win_rows):
-    out = _fwd_impl(color, alpha, importance, boxes, image_hw, win_rows)
-    return out, (color, alpha, importance, boxes)
+def _fwd(color, alpha, importance, boxes, image_hw, win_rows, pres_gate):
+    out = _fwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
+                    pres_gate)
+    return out, (color, alpha, importance, boxes, pres_gate)
 
 
 def _bwd(image_hw, win_rows, residuals, cotangents):
-    color, alpha, importance, boxes = residuals
+    color, alpha, importance, boxes, pres_gate = residuals
     dnum, dden = cotangents
-    return _bwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
-                     dnum, dden)
+    grads = _bwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
+                      dnum, dden, pres_gate)
+    dgate = None if pres_gate is None else jnp.zeros_like(pres_gate)
+    return grads + (dgate,)
 
 
 composite_pallas.defvjp(_fwd, _bwd)

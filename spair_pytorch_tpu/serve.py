@@ -92,6 +92,11 @@ def main(argv=None):
     p.add_argument("--requests", type=int, default=64)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--quantize", default=None, choices=[None, "int8"],
+                   help="post-training int8 quantization of every "
+                        "linear/conv (ops/quant.py): int8 MXU matmuls + "
+                        "halved weight traffic; A/B accuracy with "
+                        "benchmarks/int8_serving.py before deploying")
     args = p.parse_args(argv)
 
     import os
@@ -110,7 +115,12 @@ def main(argv=None):
             raise SystemExit(f"no checkpoint under {args.logdir}")
         state = restored
 
-    server = DetectorServer(cfg, state.params, batch_sizes=(args.batch,),
+    params = state.params
+    if args.quantize == "int8":
+        from spair_pytorch_tpu.ops.quant import quantize_params_int8
+        params = quantize_params_int8(params)
+
+    server = DetectorServer(cfg, params, batch_sizes=(args.batch,),
                             pres_threshold=args.threshold)
     server.warmup()
 

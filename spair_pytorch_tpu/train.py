@@ -389,6 +389,12 @@ def main(argv=None):
                    help="compositing semantics: the reference's "
                         "importance-normalized blend, or corrected "
                         "z-depth-ordered alpha-over (overlap-heavy scenes)")
+    p.add_argument("--pres-gate", type=float, default=None,
+                   help="presence-gate threshold for the compositor "
+                        "(cfg.pres_gate_threshold): objects with relaxed "
+                        "z_pres below it are skipped. Opt-in speed/quality "
+                        "trade — gated objects get no reconstruction "
+                        "gradient; A/B before adopting")
     p.add_argument("--box-prior", default="reference",
                    choices=["reference", "free"],
                    help="'reference': the reference's N(7.0,0.5) h/w-logit "
@@ -406,6 +412,8 @@ def main(argv=None):
         overrides["grad_clip_norm"] = args.grad_clip
     if args.render_mode:
         overrides["render_mode"] = args.render_mode
+    if args.pres_gate is not None:
+        overrides["pres_gate_threshold"] = args.pres_gate
     if args.box_prior == "free":
         from spair_pytorch_tpu.config import free_box_priors
         overrides["priors"] = free_box_priors()

@@ -305,3 +305,95 @@ class TestV3ChunkedKernel:
                        (48, 48))
         np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_x),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestPresenceGate:
+    """pres_gate semantics: skipping an object in the kernel == compositing
+    its gate-masked glimpses (models/render.py gating contract)."""
+
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_fwd_matches_masked_xla(self, seed):
+        color, alpha, imp, boxes = make_inputs_c(seed, c=2)
+        hw = (48, 48)
+        rng = np.random.RandomState(seed + 100)
+        gate = jnp.asarray((rng.rand(2, 9) > 0.5).astype("f"))
+        num_p, den_p = composite_pallas(color, alpha, imp, boxes, hw, 40,
+                                        pres_gate=gate)
+        gm = gate[:, :, None, None, None]
+        num_x, den_x = composite_xla(color * gm, alpha * gm, imp * gm,
+                                     boxes, hw, chunk=4)
+        np.testing.assert_allclose(np.asarray(num_p), np.asarray(num_x),
+                                   rtol=5e-5, atol=5e-6)
+        np.testing.assert_allclose(np.asarray(den_p), np.asarray(den_x),
+                                   rtol=5e-5, atol=5e-6)
+
+    def test_grads_match_masked_xla_and_zero_for_gated(self):
+        color, alpha, imp, boxes = make_inputs_c(1, b=1, n=4, c=1)
+        hw = (48, 48)
+        gate = jnp.asarray(np.array([[1.0, 0.0, 1.0, 0.0]], dtype="f"))
+
+        def loss_p(c, a, i, bx):
+            num, den = composite_pallas(c, a, i, bx, hw, 40, pres_gate=gate)
+            return jnp.sum((num / den) ** 2)
+
+        def loss_x(c, a, i, bx):
+            gm = gate[:, :, None, None, None]
+            num, den = composite_xla(c * gm, a * gm, i * gm, bx, hw, chunk=4)
+            return jnp.sum((num / den) ** 2)
+
+        g_p = jax.grad(loss_p, argnums=(0, 1, 2, 3))(color, alpha, imp,
+                                                     boxes)
+        g_x = jax.grad(loss_x, argnums=(0, 1, 2, 3))(color, alpha, imp,
+                                                     boxes)
+        for a, b in zip(g_p, g_x):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=5e-4)
+        # gated-out objects: exactly zero glimpse AND box gradients
+        for t in g_p[:3]:
+            assert float(np.abs(np.asarray(t)[:, 1]).max()) == 0.0
+            assert float(np.abs(np.asarray(t)[:, 3]).max()) == 0.0
+        assert float(np.abs(np.asarray(g_p[3])[:, 1]).max()) == 0.0
+        assert float(np.abs(np.asarray(g_p[3])[:, 3]).max()) == 0.0
+
+    def test_gate_none_is_bitwise_ungated(self):
+        color, alpha, imp, boxes = make_inputs_c(2, c=1)
+        hw = (48, 48)
+        a1 = composite_pallas(color, alpha, imp, boxes, hw, 40)
+        a2 = composite_pallas(color, alpha, imp, boxes, hw, 40,
+                              pres_gate=None)
+        for x, y in zip(a1, a2):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_render_level_backend_parity(self):
+        # cfg.pres_gate_threshold routes the SAME gate through the kernel
+        # skip (pallas) and the glimpse mask (xla): identical recon + grads.
+        from tests.test_model import tiny_config
+        from spair_pytorch_tpu.models import forward, init_params
+        cfg_p = tiny_config(inference_mode="independent",
+                            render_backend="pallas",
+                            pres_gate_threshold=0.3)
+        cfg_x = tiny_config(inference_mode="independent",
+                            render_backend="xla",
+                            pres_gate_threshold=0.3)
+        params = init_params(jax.random.PRNGKey(0), cfg_p)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
+
+        def loss_fn(cfg):
+            def f(p):
+                loss, aux = forward(p, cfg, x, 0, jax.random.PRNGKey(2))
+                return loss, aux["recon"]
+            return f
+
+        (lp, rp), gp = jax.value_and_grad(loss_fn(cfg_p), has_aux=True)(
+            params)
+        (lx, rx), gx = jax.value_and_grad(loss_fn(cfg_x), has_aux=True)(
+            params)
+        np.testing.assert_allclose(np.asarray(rp), np.asarray(rx),
+                                   rtol=1e-5, atol=1e-5)
+        assert np.isclose(float(lp), float(lx), rtol=1e-5)
+        flat_p = jax.tree_util.tree_leaves(gp)
+        flat_x = jax.tree_util.tree_leaves(gx)
+        for a, b in zip(flat_p, flat_x):
+            denom = max(1e-3, float(np.max(np.abs(np.asarray(b)))))
+            assert float(np.max(np.abs(np.asarray(a) - np.asarray(b)))
+                         ) / denom < 1e-3
