@@ -156,6 +156,15 @@ def main():
                    choices=[None, "xla", "pallas", "pallas_v3"])
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--gate", type=float, default=None,
+                   help="presence-gate threshold (cfg.pres_gate_threshold); "
+                        "combine with --pretrain so the timed region sees "
+                        "post-count-prior sparsity, not the dense init")
+    p.add_argument("--pretrain", type=int, default=0,
+                   help="run N untimed training steps before the timed "
+                        "region (steady-state throughput: presence maps "
+                        "are sparse only after the count prior engages "
+                        "~step 1000)")
     p.add_argument("--count-kl", default=None, choices=[None, "seq", "par"],
                    help="override count-prior KL implementation")
     p.add_argument("--remat", default=None, choices=[None, "full", "dots"],
@@ -184,6 +193,8 @@ def main():
         overrides["count_prior_parallel"] = args.count_kl == "par"
     if args.remat:
         overrides["scan_remat_policy"] = args.remat
+    if args.gate is not None:
+        overrides["pres_gate_threshold"] = args.gate
     cfg = paper_config(**overrides)
 
     import jax.numpy as jnp
@@ -210,6 +221,14 @@ def main():
 
     # warmup/compile
     _, state = run(1, state)
+    if args.pretrain:
+        for _ in range(max(0, args.pretrain - k) // k):
+            state, _m = step_fn(state)
+        jax.device_get(_m["losses/total"][-1])
+        import sys
+        print(f"# pretrained to step ~{args.pretrain} "
+              f"(loss {float(jax.device_get(_m['losses/total'][-1])):.0f})",
+              file=sys.stderr)
     if check is not None:
         import numpy as np
         # thread the state: the step donates its input buffers
