@@ -33,11 +33,21 @@ def evaluate(cfg, state, batches: int = 32, data=None, seed: int = 1234,
                 make_data(cfg, seed=seed, digits=digits))
     img_size = cfg.image_shape[-1]
 
+    # AP@0.5 is the headline, but SPAIR boxes on scattered-MNIST hover near
+    # IoU 0.5 against the 28 px patch GT (predictions hug the ink, which is
+    # tighter than the patch), so a few-percent tightness shift tips the
+    # binary threshold from ~0.95 to ~0. Pool matches at several thresholds
+    # so the cliff is visible instead of masquerading as a model collapse
+    # (observed: the presence-gated training arm "collapsed" to AP@0.5=0
+    # while AP@0.4 stayed at 0.978, above its control).
+    ap_thresholds = (0.3, 0.4, 0.5, 0.6)
+
     @jax.jit
     def run(params, x, step, rng, gt_bbox, gt_count):
         _, aux = forward(params, cfg, x, step, rng)
-        matches = metric.match_predictions(
-            aux["z_where"], aux["z_pres"], gt_bbox, gt_count, img_size)
+        matches = {t: metric.match_predictions(
+            aux["z_where"], aux["z_pres"], gt_bbox, gt_count, img_size,
+            iou_threshold=t) for t in ap_thresholds}
         return {
             "bbox_average_precision": metric.mAP(
                 aux["z_where"], aux["z_pres"], gt_bbox, gt_count, img_size),
@@ -51,21 +61,23 @@ def evaluate(cfg, state, batches: int = 32, data=None, seed: int = 1234,
 
     rng = jax.random.PRNGKey(seed)
     sums, aux_last, x_last = None, None, None
-    pooled = []  # (scores, tp, n_gt) per batch, for dataset-level AP@0.5
+    pooled = {t: [] for t in ap_thresholds}  # per-threshold (scores, tp, n_gt)
     for i in range(batches):
         x, gt_bbox, gt_count = next(data)
         m, aux_last, matches = run(state.params, x, state.step,
                                    jax.random.fold_in(rng, i),
                                    gt_bbox, gt_count)
         m, matches = jax.device_get((m, matches))
-        pooled.append(matches)
+        for t in ap_thresholds:
+            pooled[t].append(matches[t])
         x_last = x
         sums = m if sums is None else {k: sums[k] + m[k] for k in m}
     result = {k: float(v) / batches for k, v in sums.items()}
-    result["ap_at_50"] = metric.average_precision(
-        np.concatenate([p[0] for p in pooled]),
-        np.concatenate([p[1] for p in pooled]),
-        np.concatenate([p[2] for p in pooled]))
+    for t in ap_thresholds:
+        result[f"ap_at_{int(t * 100)}"] = metric.average_precision(
+            np.concatenate([p[0] for p in pooled[t]]),
+            np.concatenate([p[1] for p in pooled[t]]),
+            np.concatenate([p[2] for p in pooled[t]]))
     result["step"] = int(state.step)
     return result, aux_last, x_last
 

@@ -397,3 +397,33 @@ class TestPresenceGate:
             denom = max(1e-3, float(np.max(np.abs(np.asarray(b)))))
             assert float(np.max(np.abs(np.asarray(a) - np.asarray(b)))
                          ) / denom < 1e-3
+
+    def test_all_gated_is_finite_zero(self):
+        # every object skipped: num = 0, den = n*1e-9 floor -> recon 0,
+        # no NaN/Inf anywhere (the 0/0 hazard class kl.py documents)
+        color, alpha, imp, boxes = make_inputs_c(5, c=1)
+        hw = (48, 48)
+        gate = jnp.zeros((2, 9))
+        num, den = composite_pallas(color, alpha, imp, boxes, hw, 40,
+                                    pres_gate=gate)
+        out = np.asarray(num / den)
+        assert np.isfinite(out).all() and np.abs(out).max() == 0.0
+        np.testing.assert_allclose(np.asarray(den), 9e-9, rtol=1e-3)
+
+    def test_gate_with_bf16_operands(self):
+        # gating composes with the bf16 MXU operand path (the two Mosaic
+        # paths that historically broke only on hardware — also covered
+        # on-device by bench --check's gated leg)
+        color, alpha, imp, boxes = make_inputs_c(6, c=2)
+        hw = (48, 48)
+        gate = jnp.asarray((np.random.RandomState(6).rand(2, 9) > 0.5)
+                           .astype("f"))
+        bf = [t.astype(jnp.bfloat16) for t in (color, alpha, imp)]
+        num_p, den_p = composite_pallas(*bf, boxes, hw, 40, pres_gate=gate)
+        gm = gate[:, :, None, None, None]
+        num_x, den_x = composite_xla(color * gm, alpha * gm, imp * gm,
+                                     boxes, hw, chunk=4)
+        assert np.isfinite(np.asarray(num_p)).all()
+        denom = max(1e-3, float(np.max(np.abs(np.asarray(num_x)))))
+        assert float(np.max(np.abs(np.asarray(num_p) - np.asarray(num_x)))
+                     ) / denom < 3e-2
