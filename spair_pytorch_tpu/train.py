@@ -79,9 +79,23 @@ def train(cfg: SpairConfig,
           eval_batches: int = 4,
           steps_per_call: int = 1):
     if logdir is None:
-        # run-dir naming in the spirit of reference train.py:19-20
-        stamp = datetime.datetime.now().strftime("%b-%d-%H%M%S")
-        logdir = os.path.join("logs_v2", stamp)
+        # run-dir naming matching reference train.py:19-20:
+        # logs_v2/<Mon-DD>-<coolname slug> (plus HMS so same-day runs
+        # never collide — the reference relies on slug randomness alone)
+        import random
+        adjectives = ("amber", "brisk", "calm", "daring", "eager", "fuzzy",
+                      "gentle", "hollow", "ivory", "jolly", "keen", "lucid",
+                      "mellow", "nimble", "opal", "plucky", "quiet", "rustic",
+                      "sunny", "tidy", "vivid", "witty")
+        nouns = ("otter", "falcon", "maple", "comet", "harbor", "lantern",
+                 "meadow", "pebble", "quill", "ridge", "sparrow", "thicket",
+                 "violet", "walnut", "yarrow", "zephyr", "badger", "cinder",
+                 "dune", "ember")
+        rng = random.Random()
+        slug = f"{rng.choice(adjectives)}-{rng.choice(nouns)}"
+        stamp = datetime.datetime.now().strftime("%b-%d")
+        hms = datetime.datetime.now().strftime("%H%M%S")
+        logdir = os.path.join("logs_v2", f"{stamp}-{slug}-{hms}")
     writer = MetricWriter(logdir)
     # persist the exact config so eval/export can reconstruct the run
     # without re-deriving preset+flags (eval.py prefers this file)
