@@ -33,13 +33,19 @@ from spair_pytorch_tpu.ops.quant import quantize_params_int8
 from spair_pytorch_tpu.parallel import create_train_state
 
 
-def delta_time(fn, k, trials=3):
-    """(time(3 calls) - time(1 call)) / 2 for a K-fused scan dispatch."""
+def delta_time(fn, k, trials=5):
+    """(time(3 calls) - time(1 call)) / 2 for a K-fused scan dispatch.
+
+    A relay window shifting between the 1-call and 3-call brackets can
+    produce a NEGATIVE delta (3 calls "faster" than 1); min() over trials
+    would then keep the corrupted sample forever. Reject non-positive
+    deltas and report the median of the valid ones instead.
+    """
     jitted = jax.jit(fn)
     out = jitted(0.0)
     jax.device_get(out)
 
-    best = float("inf")
+    deltas = []
     for t in range(trials):
         if t:
             time.sleep(2)
@@ -49,8 +55,12 @@ def delta_time(fn, k, trials=3):
         jax.device_get(jitted(2.0)), jax.device_get(jitted(3.0)), \
             jax.device_get(jitted(4.0))
         t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / (2 * k))
-    return best
+        d = ((t2 - t1) - (t1 - t0)) / (2 * k)
+        if d > 0:
+            deltas.append(d)
+    if not deltas:
+        return float("nan")
+    return float(np.median(deltas))
 
 
 def main():
