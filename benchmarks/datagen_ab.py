@@ -34,7 +34,7 @@ def main():
     b, k = args.batch, args.k
 
     # --- native C++ (host) ---
-    for threads in (1, os.cpu_count() or 1):
+    for threads in sorted({1, os.cpu_count() or 1}):
         it = NativeScatteredDigits(dcfg, b, bank=bank, n_threads=threads)
         next(it)  # warm (also builds the .so on first use)
         t0 = time.perf_counter()
@@ -44,20 +44,8 @@ def main():
         print(f"native C++ ({threads} thr)   {dt * 1e3:8.3f} ms/batch "
               f"{b / dt:10.0f} img/s", flush=True)
 
-    # --- numpy HDF5-build producer (the build_hdf5 inner loop) ---
-    try:
-        from spair_pytorch_tpu.data.build_hdf5 import make_scene
-        rng = np.random.default_rng(0)
-        bank_np = np.asarray(bank)
-        t0 = time.perf_counter()
-        nscenes = 4 * b
-        for i in range(nscenes):
-            make_scene(rng, bank_np, dcfg)
-        dt = (time.perf_counter() - t0) / nscenes
-        print(f"numpy build_hdf5 scene   {dt * 1e3:8.3f} ms/img  "
-              f"{1 / dt:10.0f} img/s", flush=True)
-    except ImportError:
-        pass
+    # (build_hdf5 feeds from the same native generator, so it has no
+    # separate producer arm to time.)
 
     if args.skip_device:
         return
