@@ -197,6 +197,17 @@ class SpairConfig:
     # default: it is dead compute by the reference's own construction.
     vestigial_self_attn: bool = False
 
+    # Optional Bernoulli-entropy penalty on the relaxed presence
+    # probabilities: weight * batch-mean of per-image summed
+    # H(p) = -(p log p + (1-p) log(1-p)). No reference counterpart.
+    # Motivation (benchmarks/cluttered_failure_modes.py): on cluttered
+    # scenes, 65% of miscounted scenes carry a presence score in
+    # (0.2, 0.8) vs 31% of all scenes — overlapping digits leave
+    # borderline presences that threshold/rounding flips inconsistently.
+    # The penalty pushes those scores out of the soft zone. 0 = off
+    # (reference parity).
+    pres_entropy_weight: float = 0.0
+
     # --- data/scene ---
     # object count range per generated scene (bbox slots); the cluttered
     # preset (BASELINE config 4) uses 9..12

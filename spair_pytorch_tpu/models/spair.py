@@ -220,6 +220,19 @@ def forward(params, cfg: SpairConfig, x, step, rng, noise=None):
 
     loss, terms = loss_and_metrics(x, recon, kls, cfg)
 
+    if cfg.pres_entropy_weight:
+        # opt-in borderline-presence penalty (see config.py for the
+        # measured motivation); gated by the training wheel like the
+        # presence head itself so the first 1000 steps stay untouched
+        from spair_pytorch_tpu.ops.math import safe_log
+        p = z_pres_prob.astype(f32)
+        ent = -(p * safe_log(p) + (1.0 - p) * safe_log(1.0 - p))
+        ent_mean = jnp.mean(jnp.sum(ent, axis=(1, 2, 3)))
+        ent_loss = cfg.pres_entropy_weight * (1.0 - tw) * ent_mean
+        loss = loss + ent_loss
+        terms["losses/pres_entropy"] = ent_mean
+        terms["losses/total"] = loss
+
     if cfg.vestigial_self_attn and "self_attn" in params:
         # The reference runs its SAGAN Self_Attn every forward on the
         # (box, attr, depth) context grid and discards the output

@@ -409,6 +409,14 @@ def main(argv=None):
                         "z_pres below it are skipped. Opt-in speed/quality "
                         "trade — gated objects get no reconstruction "
                         "gradient; A/B before adopting")
+    p.add_argument("--pres-entropy", type=float, default=None,
+                   help="weight of the Bernoulli-entropy penalty on the "
+                        "relaxed presence probabilities "
+                        "(cfg.pres_entropy_weight): pushes borderline "
+                        "scores out of the (0.2, 0.8) soft zone — the "
+                        "measured cluttered-scene miscount mechanism "
+                        "(benchmarks/cluttered_failure_modes.py). Engages "
+                        "after the training wheel (step 1000). 0 = off")
     p.add_argument("--box-prior", default="reference",
                    choices=["reference", "free"],
                    help="'reference': the reference's N(7.0,0.5) h/w-logit "
@@ -428,6 +436,8 @@ def main(argv=None):
         overrides["render_mode"] = args.render_mode
     if args.pres_gate is not None:
         overrides["pres_gate_threshold"] = args.pres_gate
+    if args.pres_entropy is not None:
+        overrides["pres_entropy_weight"] = args.pres_entropy
     if args.box_prior == "free":
         from spair_pytorch_tpu.config import free_box_priors
         overrides["priors"] = free_box_priors()

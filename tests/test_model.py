@@ -452,3 +452,53 @@ class TestRematPolicy:
                         jax.tree_util.tree_leaves(grads[1])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-4, atol=1e-4)
+
+
+class TestPresEntropy:
+    """Opt-in borderline-presence penalty (cfg.pres_entropy_weight)."""
+
+    def test_off_by_default_and_wheel_gated(self):
+        cfg0 = tiny_config(inference_mode="independent")
+        cfg1 = tiny_config(inference_mode="independent",
+                           pres_entropy_weight=0.5)
+        params = init_params(jax.random.PRNGKey(0), cfg0)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
+        # while the training wheel is on (step < 1000) the penalty is
+        # value-neutral even when enabled
+        l0, _ = forward(params, cfg0, x, 0, jax.random.PRNGKey(2))
+        l1, aux1 = forward(params, cfg1, x, 0, jax.random.PRNGKey(2))
+        assert np.isclose(float(l0), float(l1), rtol=1e-6)
+        assert "losses/pres_entropy" in aux1["losses"]
+
+    def test_adds_weighted_entropy_after_wheel(self):
+        cfg0 = tiny_config(inference_mode="independent")
+        cfg1 = tiny_config(inference_mode="independent",
+                           pres_entropy_weight=0.5)
+        params = init_params(jax.random.PRNGKey(0), cfg0)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
+        l0, _ = forward(params, cfg0, x, 2000, jax.random.PRNGKey(2))
+        l1, aux1 = forward(params, cfg1, x, 2000, jax.random.PRNGKey(2))
+        ent = float(aux1["losses"]["losses/pres_entropy"])
+        assert ent > 0.0
+        np.testing.assert_allclose(float(l1), float(l0) + 0.5 * ent,
+                                   rtol=1e-5)
+        assert np.isclose(float(aux1["losses"]["losses/total"]), float(l1),
+                          rtol=1e-6)
+
+    def test_gradients_finite_under_jit(self):
+        # saturated probabilities hit the log(0) hazard class the repo
+        # documents (safe_log must keep entropy gradients finite)
+        cfg = tiny_config(inference_mode="independent",
+                          pres_entropy_weight=1.0)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        x = jnp.zeros((2, 1, 48, 48))  # black images -> extreme logits
+
+        @jax.jit
+        def g(p):
+            return jax.grad(
+                lambda pp: forward(pp, cfg, x, 5000,
+                                   jax.random.PRNGKey(2))[0])(p)
+
+        grads = g(params)
+        for leaf in jax.tree_util.tree_leaves(grads):
+            assert np.isfinite(np.asarray(leaf)).all()
