@@ -18,6 +18,7 @@ import argparse
 import json
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from spair_pytorch_tpu import metrics as metric
@@ -42,12 +43,21 @@ def evaluate(cfg, state, batches: int = 32, data=None, seed: int = 1234,
     # while AP@0.4 stayed at 0.978, above its control).
     ap_thresholds = (0.3, 0.4, 0.5, 0.6)
 
+    from spair_pytorch_tpu.models.infer import detect
+
     @jax.jit
     def run(params, x, step, rng, gt_bbox, gt_count):
         _, aux = forward(params, cfg, x, step, rng)
         matches = {t: metric.match_predictions(
             aux["z_where"], aux["z_pres"], gt_bbox, gt_count, img_size,
             iou_threshold=t) for t in ap_thresholds}
+        # deterministic-detector counts alongside the reference-semantics
+        # stochastic rounding: on overlap-heavy scenes borderline presences
+        # make the rounded sample noisy, and the measured best operating
+        # point is the zero-noise detector at threshold ~0.7 (+0.08 exact
+        # accuracy on cluttered — benchmarks/cluttered_failure_modes.py)
+        det = detect(params, x, cfg)
+        gt = gt_count[:, 0]
         return {
             "bbox_average_precision": metric.mAP(
                 aux["z_where"], aux["z_pres"], gt_bbox, gt_count, img_size),
@@ -57,6 +67,11 @@ def evaluate(cfg, state, batches: int = 32, data=None, seed: int = 1234,
                 aux["z_pres"], gt_count),
             "count_exact_accuracy": metric.count_accuracy(
                 aux["z_pres"], gt_count),
+            "det_count_acc_50": jnp.mean(
+                (det["count"] == gt).astype(jnp.float32)),
+            "det_count_acc_70": jnp.mean(
+                (jnp.sum(det["scores"] >= 0.7, axis=-1) == gt)
+                .astype(jnp.float32)),
         }, aux, matches
 
     rng = jax.random.PRNGKey(seed)
