@@ -29,7 +29,7 @@ from spair_pytorch_tpu.train import make_data
 
 
 def evaluate(cfg, state, batches: int = 32, data=None, seed: int = 1234,
-             digits: str = "auto"):
+             digits: str = "auto", det_threshold=None):
     data = iter(data if data is not None else
                 make_data(cfg, seed=seed, digits=digits))
     img_size = cfg.image_shape[-1]
@@ -58,7 +58,7 @@ def evaluate(cfg, state, batches: int = 32, data=None, seed: int = 1234,
         # accuracy on cluttered — benchmarks/cluttered_failure_modes.py)
         det = detect(params, x, cfg)
         gt = gt_count[:, 0]
-        return {
+        out = {
             "bbox_average_precision": metric.mAP(
                 aux["z_where"], aux["z_pres"], gt_bbox, gt_count, img_size),
             "bbox_ap_center": metric.mAP_center(
@@ -72,7 +72,14 @@ def evaluate(cfg, state, batches: int = 32, data=None, seed: int = 1234,
             "det_count_acc_70": jnp.mean(
                 (jnp.sum(det["scores"] >= 0.7, axis=-1) == gt)
                 .astype(jnp.float32)),
-        }, aux, matches
+        }
+        if det_threshold is not None:
+            # calibrated operating point (from calibrate(); measured on
+            # DIFFERENT scenes than the calibration set — seeds differ)
+            out["det_count_acc_cal"] = jnp.mean(
+                (jnp.sum(det["scores"] >= det_threshold, axis=-1) == gt)
+                .astype(jnp.float32))
+        return out, aux, matches
 
     rng = jax.random.PRNGKey(seed)
     sums, aux_last, x_last = None, None, None
@@ -97,6 +104,62 @@ def evaluate(cfg, state, batches: int = 32, data=None, seed: int = 1234,
     return result, aux_last, x_last
 
 
+# sweep grid for presence-threshold calibration: 0.30 .. 0.90 by 0.05
+CALIB_THRESHOLDS = tuple(round(0.30 + 0.05 * i, 2) for i in range(13))
+
+
+def calibrate(cfg, state, batches: int = 8, data=None, seed: int = 4321,
+              digits: str = "auto", thresholds=CALIB_THRESHOLDS):
+    """Pick the detector presence threshold by exact-count accuracy on
+    held-out scenes.
+
+    Why this exists: on overlap-heavy scenes the posterior leaves
+    BORDERLINE presence probabilities (benchmarks/cluttered_failure_modes.py
+    — 65% of miscounted scenes hold a score in (0.2, 0.8)), and the best
+    fixed threshold moves with the data distribution (cluttered: 0.7 is
+    +0.08 exact accuracy over 0.5; paper128: insensitive). This turns that
+    measured operating point into a stored artifact (<logdir>/calibration.json)
+    that serve.py picks up automatically.
+
+    Uses its own seed (default 4321) so the calibration scenes are disjoint
+    from evaluate()'s default eval stream (seed 1234).
+    """
+    from spair_pytorch_tpu.models.infer import detect
+
+    data = iter(data if data is not None else
+                make_data(cfg, seed=seed, digits=digits))
+    th = jnp.asarray(thresholds, dtype=jnp.float32)
+
+    @jax.jit
+    def run(params, x, gt_count):
+        det = detect(params, x, cfg)
+        # counts per threshold: (B, T)
+        counts = jnp.sum(det["scores"][:, None, :] >= th[None, :, None],
+                         axis=-1)
+        return jnp.sum((counts == gt_count[:, :1]).astype(jnp.float32),
+                       axis=0)
+
+    hits = np.zeros(len(thresholds))
+    scenes = 0
+    for _ in range(batches):
+        x, _, gt_count = next(data)
+        hits += jax.device_get(run(state.params, x, gt_count))
+        scenes += x.shape[0]
+    acc = hits / scenes
+    # ties: prefer the threshold closest to 0.5 (least aggressive departure
+    # from the reference operating point)
+    order = np.lexsort((np.abs(np.asarray(thresholds) - 0.5), -acc))
+    best = thresholds[order[0]]
+    return {
+        "pres_threshold": float(best),
+        "count_accuracy": {f"{t:.2f}": float(a)
+                           for t, a in zip(thresholds, acc)},
+        "scenes": scenes,
+        "seed": seed,
+        "step": int(state.step),
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--logdir", required=True)
@@ -114,6 +177,12 @@ def main(argv=None):
                    choices=["auto", "mnist", "sklearn", "font"],
                    help="digit patch source for the eval scenes (match "
                         "what training used)")
+    p.add_argument("--calibrate", action="store_true",
+                   help="sweep the detector presence threshold on held-out "
+                        "scenes (disjoint seed) and store the best one in "
+                        "<logdir>/calibration.json; serve.py then uses it")
+    p.add_argument("--calib-batches", type=int, default=8,
+                   help="batches for the calibration sweep")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -141,8 +210,22 @@ def main(argv=None):
         raise SystemExit(f"no checkpoint under {args.logdir}")
     state = restored
 
-    result, aux, x = evaluate(cfg, state, batches=args.batches,
-                              digits=args.digits)
+    cal_path = os.path.join(args.logdir, "calibration.json")
+    cal = None
+    if args.calibrate:
+        cal = calibrate(cfg, state, batches=args.calib_batches,
+                        digits=args.digits)
+        with open(cal_path, "w") as f:
+            json.dump(cal, f, indent=2)
+        print(f"calibrated pres_threshold = {cal['pres_threshold']} "
+              f"({cal['scenes']} scenes) -> wrote {cal_path}")
+    elif os.path.exists(cal_path):
+        with open(cal_path) as f:
+            cal = json.load(f)
+
+    result, aux, x = evaluate(
+        cfg, state, batches=args.batches, digits=args.digits,
+        det_threshold=cal["pres_threshold"] if cal else None)
     print(json.dumps(result, indent=2))
 
     if args.figure:

@@ -84,6 +84,23 @@ class DetectorServer:
         return out
 
 
+def resolve_threshold(cli_value: Optional[float], logdir: Optional[str],
+                      default: float = 0.5) -> float:
+    """Presence-threshold precedence: explicit CLI > the run's stored
+    calibration (<logdir>/calibration.json, written by
+    ``eval --calibrate``) > 0.5 (the reference operating point)."""
+    if cli_value is not None:
+        return cli_value
+    if logdir:
+        import json
+        import os
+        path = os.path.join(logdir, "calibration.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return float(json.load(f)["pres_threshold"])
+    return default
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="paper128", choices=sorted(PRESETS))
@@ -91,7 +108,9 @@ def main(argv=None):
                    help="checkpoint to serve (default: fresh params)")
     p.add_argument("--requests", type=int, default=64)
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="presence threshold (default: the run's "
+                        "calibration.json if present, else 0.5)")
     p.add_argument("--quantize", default=None, choices=[None, "int8"],
                    help="post-training int8 quantization of every "
                         "linear/conv (ops/quant.py): int8 MXU matmuls + "
@@ -120,8 +139,12 @@ def main(argv=None):
         from spair_pytorch_tpu.ops.quant import quantize_params_int8
         params = quantize_params_int8(params)
 
+    threshold = resolve_threshold(args.threshold, args.logdir)
+    print(f"presence threshold {threshold}"
+          + (" (from calibration.json)" if args.threshold is None
+             and threshold != 0.5 else ""))
     server = DetectorServer(cfg, params, batch_sizes=(args.batch,),
-                            pres_threshold=args.threshold)
+                            pres_threshold=threshold)
     server.warmup()
 
     bank = jnp.asarray(digit_bank("auto", (14, 14)))

@@ -127,3 +127,55 @@ def test_train_writes_config_and_eval_prefers_it(tmp_path):
     assert os.path.exists(path)
     with open(path) as f:
         assert config_from_json(f.read()) == cfg
+
+
+def test_calibrate_picks_grid_threshold():
+    """calibrate() sweeps the presence threshold on held-out scenes and
+    returns a member of the grid plus the full accuracy table."""
+    from spair_pytorch_tpu.eval import CALIB_THRESHOLDS, calibrate
+
+    cfg = tiny_config(inference_mode="independent", batch_size=4)
+    state = create_train_state(cfg)
+    data = OnDeviceScatteredDigits(
+        DataConfig(image_hw=(48, 48), patch_hw=(10, 10), max_objects=3),
+        batch=4, seed=11)
+    cal = calibrate(cfg, state, batches=2, data=data)
+    assert cal["pres_threshold"] in CALIB_THRESHOLDS
+    assert cal["scenes"] == 8
+    assert set(cal["count_accuracy"]) == {f"{t:.2f}"
+                                          for t in CALIB_THRESHOLDS}
+    assert all(0.0 <= a <= 1.0 for a in cal["count_accuracy"].values())
+    # the chosen threshold attains the max of the table
+    best = max(cal["count_accuracy"].values())
+    assert cal["count_accuracy"][f"{cal['pres_threshold']:.2f}"] == best
+
+
+def test_calibrated_threshold_reaches_serving(tmp_path):
+    """eval --calibrate writes calibration.json; serve resolves its
+    threshold from it (CLI still wins; no file -> 0.5)."""
+    import json
+
+    from spair_pytorch_tpu.serve import resolve_threshold
+
+    logdir = tmp_path / "run"
+    logdir.mkdir()
+    assert resolve_threshold(None, str(logdir)) == 0.5
+    with open(logdir / "calibration.json", "w") as f:
+        json.dump({"pres_threshold": 0.7, "scenes": 256}, f)
+    assert resolve_threshold(None, str(logdir)) == 0.7
+    assert resolve_threshold(0.55, str(logdir)) == 0.55
+    assert resolve_threshold(None, None) == 0.5
+
+
+def test_evaluate_reports_calibrated_det_metric():
+    cfg = tiny_config(inference_mode="independent", batch_size=4)
+    state = create_train_state(cfg)
+    data = OnDeviceScatteredDigits(
+        DataConfig(image_hw=(48, 48), patch_hw=(10, 10), max_objects=3),
+        batch=4, seed=3)
+    result, _, _ = evaluate(cfg, state, batches=1, data=data,
+                            det_threshold=0.7)
+    assert "det_count_acc_cal" in result
+    assert 0.0 <= result["det_count_acc_cal"] <= 1.0
+    # 0.7 is also the fixed det_count_acc_70 column -> must agree
+    assert result["det_count_acc_cal"] == result["det_count_acc_70"]
