@@ -77,7 +77,8 @@ def train(cfg: SpairConfig,
           digits: str = "auto",
           eval_every: int = 0,
           eval_batches: int = 4,
-          steps_per_call: int = 1):
+          steps_per_call: int = 1,
+          calibrate_at_end: bool = False):
     if logdir is None:
         # run-dir naming matching reference train.py:19-20:
         # logs_v2/<Mon-DD>-<coolname slug> (plus HMS so same-day runs
@@ -364,6 +365,20 @@ def train(cfg: SpairConfig,
     if ckpt:
         ckpt.save(state)
         ckpt.wait()
+    if calibrate_at_end and logdir:
+        # leave the run serving-ready: sweep the detector presence
+        # threshold on held-out scenes and store it next to the checkpoint
+        # (serve.py resolves its threshold from calibration.json)
+        import json
+
+        from spair_pytorch_tpu.eval import calibrate
+        cal = calibrate(cfg, state, batches=max(eval_batches, 1),
+                        digits=digits)
+        with open(os.path.join(logdir, "calibration.json"), "w") as f:
+            json.dump(cal, f, indent=2)
+        if verbose:
+            print(f"calibrated pres_threshold = {cal['pres_threshold']} "
+                  f"({cal['scenes']} scenes) -> calibration.json")
     writer.close()
     return state
 
@@ -394,6 +409,10 @@ def main(argv=None):
                    help="evaluate on a fixed held-out scene set every N "
                         "steps (0 = off)")
     p.add_argument("--eval-batches", type=int, default=4)
+    p.add_argument("--calibrate-at-end", action="store_true",
+                   help="after the final checkpoint, sweep the detector "
+                        "presence threshold on held-out scenes and write "
+                        "<logdir>/calibration.json (serve.py uses it)")
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="fold K steps into one device dispatch (fused "
                         "datagen mode only; bit-identical math, per-step "
@@ -446,7 +465,8 @@ def main(argv=None):
           data_source=args.data, use_mesh=args.mesh,
           resume=not args.no_resume, digits=args.digits,
           eval_every=args.eval_every, eval_batches=args.eval_batches,
-          steps_per_call=args.steps_per_call)
+          steps_per_call=args.steps_per_call,
+          calibrate_at_end=args.calibrate_at_end)
 
 
 if __name__ == "__main__":

@@ -179,3 +179,24 @@ def test_evaluate_reports_calibrated_det_metric():
     assert 0.0 <= result["det_count_acc_cal"] <= 1.0
     # 0.7 is also the fixed det_count_acc_70 column -> must agree
     assert result["det_count_acc_cal"] == result["det_count_acc_70"]
+
+
+def test_train_calibrate_at_end_writes_artifact(tmp_path):
+    """train(calibrate_at_end=True) leaves the run serving-ready: a
+    calibration.json next to the checkpoint, with a grid threshold."""
+    import json
+    import os
+
+    from spair_pytorch_tpu.eval import CALIB_THRESHOLDS
+    from spair_pytorch_tpu.train import train
+
+    cfg = tiny_config(inference_mode="independent", batch_size=2)
+    logdir = str(tmp_path / "run")
+    train(cfg, steps=2, logdir=logdir, checkpoint_every=2, metrics_every=0,
+          verbose=False, eval_every=0, eval_batches=1, calibrate_at_end=True)
+    path = os.path.join(logdir, "calibration.json")
+    assert os.path.exists(path)
+    with open(path) as f:
+        cal = json.load(f)
+    assert cal["pres_threshold"] in CALIB_THRESHOLDS
+    assert cal["scenes"] == 2
