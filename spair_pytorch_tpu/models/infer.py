@@ -24,8 +24,55 @@ from spair_pytorch_tpu.models.latents import geometry, sample_noise
 from spair_pytorch_tpu.models.spair import infer_latents
 
 
-def detect(params, x, cfg: SpairConfig, pres_threshold: float = 0.5):
-    """Deterministic detection on a batch of images."""
+def pairwise_iou(boxes):
+    """IoU matrix (N, N) for corner-format boxes (N, 4) [x0, y0, x1, y1]."""
+    x0 = jnp.maximum(boxes[:, None, 0], boxes[None, :, 0])
+    y0 = jnp.maximum(boxes[:, None, 1], boxes[None, :, 1])
+    x1 = jnp.minimum(boxes[:, None, 2], boxes[None, :, 2])
+    y1 = jnp.minimum(boxes[:, None, 3], boxes[None, :, 3])
+    inter = jnp.clip(x1 - x0, 0) * jnp.clip(y1 - y0, 0)
+    area = jnp.clip(boxes[:, 2] - boxes[:, 0], 0) \
+        * jnp.clip(boxes[:, 3] - boxes[:, 1], 0)
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def nms_keep(boxes, scores, iou_threshold: float):
+    """Greedy non-maximum suppression, jit-safe at fixed shape.
+
+    boxes (N, 4) corner format, scores (N,) -> boolean keep mask (N,).
+    Classic score-ordered greedy NMS: a box is suppressed iff a KEPT
+    higher-scoring box overlaps it above the threshold (suppressed boxes
+    do not themselves suppress). N is the static cell-grid size (121), so
+    the O(N^2) IoU matrix + N-step fori_loop compile to fixed-shape
+    vector ops — no dynamic shapes under jit.
+
+    No reference counterpart (the reference has no serving path at all);
+    this targets the measured duplicate-detection failure mode on
+    overlapping scenes (benchmarks/RESULTS.md, cluttered failure-mode
+    anatomy: duplicates at moderate overlap, merges at extreme).
+    """
+    n = scores.shape[0]
+    order = jnp.argsort(-scores)
+    iou = pairwise_iou(boxes[order])
+    idx = jnp.arange(n)
+
+    def body(i, keep):
+        suppress = (iou[i] > iou_threshold) & (idx > i) & keep[i]
+        return keep & ~suppress
+
+    keep = jax.lax.fori_loop(0, n, body, jnp.ones(n, bool))
+    inv = jnp.zeros(n, jnp.int32).at[order].set(idx)
+    return keep[inv]
+
+
+def detect(params, x, cfg: SpairConfig, pres_threshold: float = 0.5,
+           nms_iou=None):
+    """Deterministic detection on a batch of images.
+
+    nms_iou: optional IoU threshold for greedy NMS over each image's
+    boxes (suppressed boxes get score 0, so they drop out of ``count``
+    and any downstream thresholding)."""
     b = x.shape[0]
     _, (gh, gw), _ = geometry(cfg)
     # zero noise: samples collapse to posterior means; the presence logit
@@ -44,14 +91,20 @@ def detect(params, x, cfg: SpairConfig, pres_threshold: float = 0.5):
     boxes = jnp.stack([cx - bw / 2, cy - bh / 2,
                        cx + bw / 2, cy + bh / 2], axis=-1)
     scores = z["z_pres_prob"].reshape(b, n)
+    if nms_iou is not None:
+        keep = jax.vmap(nms_keep, in_axes=(0, 0, None))(boxes, scores,
+                                                        nms_iou)
+        scores = scores * keep
     count = jnp.sum(scores >= pres_threshold, axis=-1)
     return {"boxes": boxes, "scores": scores, "count": count,
             "z_depth": z["z_depth"].reshape(b, n)}
 
 
-def make_detector(cfg: SpairConfig, pres_threshold: float = 0.5):
+def make_detector(cfg: SpairConfig, pres_threshold: float = 0.5,
+                  nms_iou=None):
     """Jitted detector closure: detect_fn(params, images) -> dict."""
-    return jax.jit(partial(detect, cfg=cfg, pres_threshold=pres_threshold))
+    return jax.jit(partial(detect, cfg=cfg, pres_threshold=pres_threshold,
+                           nms_iou=nms_iou))
 
 
 # make_detector returns jit(partial(...)): partial's keywords make cfg

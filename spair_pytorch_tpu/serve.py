@@ -38,12 +38,13 @@ class DetectorServer:
 
     def __init__(self, cfg: SpairConfig, params,
                  batch_sizes: Sequence[int] = (1, 8, 32),
-                 pres_threshold: float = 0.5):
+                 pres_threshold: float = 0.5,
+                 nms_iou: Optional[float] = None):
         self.cfg = cfg
         self.params = params
         self.threshold = pres_threshold
         self.buckets = tuple(sorted(batch_sizes))
-        self._fn = make_detector(cfg, pres_threshold)
+        self._fn = make_detector(cfg, pres_threshold, nms_iou=nms_iou)
 
     def warmup(self):
         """Compile every bucket up front (serving should never pay a
@@ -111,6 +112,9 @@ def main(argv=None):
     p.add_argument("--threshold", type=float, default=None,
                    help="presence threshold (default: the run's "
                         "calibration.json if present, else 0.5)")
+    p.add_argument("--nms", type=float, default=None,
+                   help="greedy NMS IoU threshold (suppresses duplicate "
+                        "detections on overlapping scenes; off by default)")
     p.add_argument("--quantize", default=None, choices=[None, "int8"],
                    help="post-training int8 quantization of every "
                         "linear/conv (ops/quant.py): int8 MXU matmuls + "
@@ -144,7 +148,7 @@ def main(argv=None):
           + (" (from calibration.json)" if args.threshold is None
              and threshold != 0.5 else ""))
     server = DetectorServer(cfg, params, batch_sizes=(args.batch,),
-                            pres_threshold=threshold)
+                            pres_threshold=threshold, nms_iou=args.nms)
     server.warmup()
 
     bank = jnp.asarray(digit_bank("auto", (14, 14)))

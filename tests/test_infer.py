@@ -141,3 +141,64 @@ class TestDetectorServer:
             np.testing.assert_allclose(dets[j]["boxes"],
                                        np.asarray(direct["boxes"][j])[keep],
                                        rtol=1e-6)
+
+
+def test_nms_hand_worked_case():
+    """Greedy NMS on a hand-checked 4-box scene: the duplicate of the top
+    box is suppressed, a suppressed box does NOT suppress others, and
+    disjoint boxes survive."""
+    from spair_pytorch_tpu.models.infer import nms_keep
+
+    boxes = jnp.asarray([
+        [0.0, 0.0, 10.0, 10.0],   # A: top score
+        [1.0, 1.0, 11.0, 11.0],   # B: heavy overlap with A -> suppressed
+        [8.0, 8.0, 18.0, 18.0],   # C: IoU with A ~0.02, with B ~0.047
+        [50.0, 50.0, 60.0, 60.0], # D: disjoint
+    ])
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.6])
+    keep = np.asarray(jax.jit(nms_keep, static_argnums=2)(boxes, scores, 0.5))
+    assert keep.tolist() == [True, False, True, True]
+    # chain rule: C inside B (iou 0.64) but far enough from A (iou 0.22)
+    boxes3 = jnp.asarray([
+        [0.0, 0.0, 10.0, 10.0],
+        [4.0, 4.0, 14.0, 14.0],    # iou with A = 36/164 ~0.22 -> KEPT at 0.5
+        [5.0, 5.0, 13.0, 13.0],    # inside B: iou(B,C)=64/100 -> suppressed
+        [50.0, 50.0, 60.0, 60.0],
+    ])
+    keep3 = np.asarray(nms_keep(boxes3, jnp.asarray([0.9, 0.8, 0.7, 0.6]),
+                                0.5))
+    assert keep3.tolist() == [True, True, False, True]
+    # now kill B via A (duplicate) -> C must SURVIVE (suppressed boxes
+    # don't suppress)
+    boxes4 = boxes3.at[1].set(jnp.asarray([0.5, 0.5, 10.5, 10.5]))
+    keep4 = np.asarray(nms_keep(boxes4, jnp.asarray([0.9, 0.8, 0.7, 0.6]),
+                                0.5))
+    assert bool(keep4[1]) is False
+    assert bool(keep4[2]) is True
+
+
+def test_nms_score_order_not_index_order():
+    """Suppression must follow SCORES, not array position."""
+    from spair_pytorch_tpu.models.infer import nms_keep
+
+    boxes = jnp.asarray([[0.0, 0.0, 10.0, 10.0],
+                         [1.0, 1.0, 11.0, 11.0]])
+    # index 1 has the higher score -> index 0 is the one suppressed
+    keep = np.asarray(nms_keep(boxes, jnp.asarray([0.3, 0.9]), 0.5))
+    assert keep.tolist() == [False, True]
+
+
+def test_detect_nms_drops_duplicate_counts():
+    """detect(nms_iou=...) zeroes suppressed scores; count can only stay
+    or drop vs the un-NMSed detector, and survivors' scores are
+    unchanged."""
+    cfg = tiny_config(inference_mode="independent", batch_size=3)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (3,) + tuple(cfg.image_shape))
+    plain = detect(params, x, cfg)
+    nmsed = detect(params, x, cfg, nms_iou=0.4)
+    assert np.all(np.asarray(nmsed["count"]) <= np.asarray(plain["count"]))
+    kept = np.asarray(nmsed["scores"]) > 0
+    assert np.allclose(np.asarray(nmsed["scores"])[kept],
+                       np.asarray(plain["scores"])[kept])
