@@ -29,7 +29,7 @@ from spair_pytorch_tpu.train import make_data
 
 
 def evaluate(cfg, state, batches: int = 32, data=None, seed: int = 1234,
-             digits: str = "auto", det_threshold=None):
+             digits: str = "auto", det_threshold=None, det_nms=None):
     data = iter(data if data is not None else
                 make_data(cfg, seed=seed, digits=digits))
     img_size = cfg.image_shape[-1]
@@ -76,8 +76,14 @@ def evaluate(cfg, state, batches: int = 32, data=None, seed: int = 1234,
         if det_threshold is not None:
             # calibrated operating point (from calibrate(); measured on
             # DIFFERENT scenes than the calibration set — seeds differ)
+            scores_cal = det["scores"]
+            if det_nms is not None:
+                from spair_pytorch_tpu.models.infer import nms_keep
+                keep = jax.vmap(nms_keep, in_axes=(0, 0, None))(
+                    det["boxes"], det["scores"], det_nms)
+                scores_cal = scores_cal * keep
             out["det_count_acc_cal"] = jnp.mean(
-                (jnp.sum(det["scores"] >= det_threshold, axis=-1) == gt)
+                (jnp.sum(scores_cal >= det_threshold, axis=-1) == gt)
                 .astype(jnp.float32))
         return out, aux, matches
 
@@ -104,56 +110,73 @@ def evaluate(cfg, state, batches: int = 32, data=None, seed: int = 1234,
     return result, aux_last, x_last
 
 
-# sweep grid for presence-threshold calibration: 0.30 .. 0.90 by 0.05
+# calibration grids: presence threshold 0.30 .. 0.90 by 0.05, and greedy
+# NMS off/mild (the nms_sweep benchmark shows aggressive NMS < 0.5 removes
+# TRUE overlapping neighbors and craters accuracy, so it isn't swept)
 CALIB_THRESHOLDS = tuple(round(0.30 + 0.05 * i, 2) for i in range(13))
+CALIB_NMS = (None, 0.5, 0.6, 0.7)
 
 
 def calibrate(cfg, state, batches: int = 8, data=None, seed: int = 4321,
-              digits: str = "auto", thresholds=CALIB_THRESHOLDS):
-    """Pick the detector presence threshold by exact-count accuracy on
-    held-out scenes.
+              digits: str = "auto", thresholds=CALIB_THRESHOLDS,
+              nms_grid=CALIB_NMS):
+    """Pick the detector operating point (presence threshold x NMS IoU)
+    by exact-count accuracy on held-out scenes.
 
     Why this exists: on overlap-heavy scenes the posterior leaves
     BORDERLINE presence probabilities (benchmarks/cluttered_failure_modes.py
-    — 65% of miscounted scenes hold a score in (0.2, 0.8)), and the best
-    fixed threshold moves with the data distribution (cluttered: 0.7 is
-    +0.08 exact accuracy over 0.5; paper128: insensitive). This turns that
-    measured operating point into a stored artifact (<logdir>/calibration.json)
-    that serve.py picks up automatically.
+    — 65% of miscounted scenes hold a score in (0.2, 0.8)) plus duplicate
+    detections at moderate overlap, and the best operating point moves
+    with the data distribution (cluttered: threshold 0.75 is +0.07 exact
+    accuracy over 0.5, mild NMS@0.6 another +0.02 — benchmarks/nms_sweep.py;
+    paper128: insensitive). This turns those measured operating points
+    into a stored artifact (<logdir>/calibration.json) that serve.py
+    picks up automatically.
 
     Uses its own seed (default 4321) so the calibration scenes are disjoint
     from evaluate()'s default eval stream (seed 1234).
     """
+    import functools
+
     from spair_pytorch_tpu.models.infer import detect
 
     data = iter(data if data is not None else
                 make_data(cfg, seed=seed, digits=digits))
     th = jnp.asarray(thresholds, dtype=jnp.float32)
 
-    @jax.jit
-    def run(params, x, gt_count):
-        det = detect(params, x, cfg)
+    @functools.partial(jax.jit, static_argnums=3)
+    def run(params, x, gt_count, nms_iou):
+        det = detect(params, x, cfg, nms_iou=nms_iou)
         # counts per threshold: (B, T)
         counts = jnp.sum(det["scores"][:, None, :] >= th[None, :, None],
                          axis=-1)
         return jnp.sum((counts == gt_count[:, :1]).astype(jnp.float32),
                        axis=0)
 
-    hits = np.zeros(len(thresholds))
+    hits = {g: np.zeros(len(thresholds)) for g in nms_grid}
     scenes = 0
     for _ in range(batches):
         x, _, gt_count = next(data)
-        hits += jax.device_get(run(state.params, x, gt_count))
+        for g in nms_grid:
+            hits[g] += jax.device_get(run(state.params, x, gt_count, g))
         scenes += x.shape[0]
-    acc = hits / scenes
-    # ties: prefer the threshold closest to 0.5 (least aggressive departure
-    # from the reference operating point)
-    order = np.lexsort((np.abs(np.asarray(thresholds) - 0.5), -acc))
-    best = thresholds[order[0]]
+
+    table = {}
+    best = (-1.0, None, 0.5)  # (acc, nms, threshold)
+    for g in nms_grid:  # None first: ties prefer the simpler serving graph
+        acc = hits[g] / scenes
+        key = "none" if g is None else f"{g:.1f}"
+        table[key] = {f"{t:.2f}": float(a)
+                      for t, a in zip(thresholds, acc)}
+        # ties within a grid row: prefer the threshold closest to 0.5
+        # (least aggressive departure from the reference operating point)
+        order = np.lexsort((np.abs(np.asarray(thresholds) - 0.5), -acc))
+        if acc[order[0]] > best[0]:
+            best = (float(acc[order[0]]), g, thresholds[order[0]])
     return {
-        "pres_threshold": float(best),
-        "count_accuracy": {f"{t:.2f}": float(a)
-                           for t, a in zip(thresholds, acc)},
+        "pres_threshold": float(best[2]),
+        "nms_iou": best[1],
+        "count_accuracy": table,
         "scenes": scenes,
         "seed": seed,
         "step": int(state.step),
@@ -217,7 +240,8 @@ def main(argv=None):
                         digits=args.digits)
         with open(cal_path, "w") as f:
             json.dump(cal, f, indent=2)
-        print(f"calibrated pres_threshold = {cal['pres_threshold']} "
+        print(f"calibrated pres_threshold = {cal['pres_threshold']}, "
+              f"nms_iou = {cal['nms_iou']} "
               f"({cal['scenes']} scenes) -> wrote {cal_path}")
     elif os.path.exists(cal_path):
         with open(cal_path) as f:
@@ -225,7 +249,8 @@ def main(argv=None):
 
     result, aux, x = evaluate(
         cfg, state, batches=args.batches, digits=args.digits,
-        det_threshold=cal["pres_threshold"] if cal else None)
+        det_threshold=cal["pres_threshold"] if cal else None,
+        det_nms=cal.get("nms_iou") if cal else None)
     print(json.dumps(result, indent=2))
 
     if args.figure:

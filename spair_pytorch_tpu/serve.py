@@ -85,6 +85,18 @@ class DetectorServer:
         return out
 
 
+def _load_calibration(logdir: Optional[str]) -> Optional[dict]:
+    if not logdir:
+        return None
+    import json
+    import os
+    path = os.path.join(logdir, "calibration.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def resolve_threshold(cli_value: Optional[float], logdir: Optional[str],
                       default: float = 0.5) -> float:
     """Presence-threshold precedence: explicit CLI > the run's stored
@@ -92,14 +104,22 @@ def resolve_threshold(cli_value: Optional[float], logdir: Optional[str],
     ``eval --calibrate``) > 0.5 (the reference operating point)."""
     if cli_value is not None:
         return cli_value
-    if logdir:
-        import json
-        import os
-        path = os.path.join(logdir, "calibration.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                return float(json.load(f)["pres_threshold"])
+    cal = _load_calibration(logdir)
+    if cal is not None:
+        return float(cal["pres_threshold"])
     return default
+
+
+def resolve_nms(cli_value: Optional[float],
+                logdir: Optional[str]) -> Optional[float]:
+    """NMS precedence: explicit CLI (0 disables) > stored calibration >
+    off."""
+    if cli_value is not None:
+        return None if cli_value == 0 else cli_value
+    cal = _load_calibration(logdir)
+    if cal is not None:
+        return cal.get("nms_iou")
+    return None
 
 
 def main(argv=None):
@@ -114,7 +134,9 @@ def main(argv=None):
                         "calibration.json if present, else 0.5)")
     p.add_argument("--nms", type=float, default=None,
                    help="greedy NMS IoU threshold (suppresses duplicate "
-                        "detections on overlapping scenes; off by default)")
+                        "detections on overlapping scenes; default: the "
+                        "run's calibration.json if present, else off; "
+                        "pass 0 to force off)")
     p.add_argument("--quantize", default=None, choices=[None, "int8"],
                    help="post-training int8 quantization of every "
                         "linear/conv (ops/quant.py): int8 MXU matmuls + "
@@ -144,11 +166,13 @@ def main(argv=None):
         params = quantize_params_int8(params)
 
     threshold = resolve_threshold(args.threshold, args.logdir)
-    print(f"presence threshold {threshold}"
-          + (" (from calibration.json)" if args.threshold is None
-             and threshold != 0.5 else ""))
+    nms_iou = resolve_nms(args.nms, args.logdir)
+    from_cal = (" (from calibration.json)"
+                if args.threshold is None and args.nms is None
+                and (threshold != 0.5 or nms_iou is not None) else "")
+    print(f"presence threshold {threshold}, nms {nms_iou}{from_cal}")
     server = DetectorServer(cfg, params, batch_sizes=(args.batch,),
-                            pres_threshold=threshold, nms_iou=args.nms)
+                            pres_threshold=threshold, nms_iou=nms_iou)
     server.warmup()
 
     bank = jnp.asarray(digit_bank("auto", (14, 14)))

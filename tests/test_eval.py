@@ -129,10 +129,11 @@ def test_train_writes_config_and_eval_prefers_it(tmp_path):
         assert config_from_json(f.read()) == cfg
 
 
-def test_calibrate_picks_grid_threshold():
-    """calibrate() sweeps the presence threshold on held-out scenes and
-    returns a member of the grid plus the full accuracy table."""
-    from spair_pytorch_tpu.eval import CALIB_THRESHOLDS, calibrate
+def test_calibrate_picks_grid_operating_point():
+    """calibrate() sweeps (presence threshold x NMS IoU) on held-out
+    scenes and returns a member of the joint grid plus the full table."""
+    from spair_pytorch_tpu.eval import (CALIB_NMS, CALIB_THRESHOLDS,
+                                        calibrate)
 
     cfg = tiny_config(inference_mode="independent", batch_size=4)
     state = create_train_state(cfg)
@@ -141,30 +142,47 @@ def test_calibrate_picks_grid_threshold():
         batch=4, seed=11)
     cal = calibrate(cfg, state, batches=2, data=data)
     assert cal["pres_threshold"] in CALIB_THRESHOLDS
+    assert cal["nms_iou"] in CALIB_NMS
     assert cal["scenes"] == 8
-    assert set(cal["count_accuracy"]) == {f"{t:.2f}"
-                                          for t in CALIB_THRESHOLDS}
-    assert all(0.0 <= a <= 1.0 for a in cal["count_accuracy"].values())
-    # the chosen threshold attains the max of the table
-    best = max(cal["count_accuracy"].values())
-    assert cal["count_accuracy"][f"{cal['pres_threshold']:.2f}"] == best
+    nms_key = ("none" if cal["nms_iou"] is None
+               else f"{cal['nms_iou']:.1f}")
+    assert set(cal["count_accuracy"]) == {
+        "none" if g is None else f"{g:.1f}" for g in CALIB_NMS}
+    for row in cal["count_accuracy"].values():
+        assert set(row) == {f"{t:.2f}" for t in CALIB_THRESHOLDS}
+        assert all(0.0 <= a <= 1.0 for a in row.values())
+    # the chosen operating point attains the max of the whole table
+    best = max(max(row.values()) for row in cal["count_accuracy"].values())
+    chosen = cal["count_accuracy"][nms_key][f"{cal['pres_threshold']:.2f}"]
+    assert chosen == best
 
 
 def test_calibrated_threshold_reaches_serving(tmp_path):
     """eval --calibrate writes calibration.json; serve resolves its
-    threshold from it (CLI still wins; no file -> 0.5)."""
+    threshold AND nms from it (CLI still wins; no file -> 0.5 / off)."""
     import json
 
-    from spair_pytorch_tpu.serve import resolve_threshold
+    from spair_pytorch_tpu.serve import resolve_nms, resolve_threshold
 
     logdir = tmp_path / "run"
     logdir.mkdir()
     assert resolve_threshold(None, str(logdir)) == 0.5
+    assert resolve_nms(None, str(logdir)) is None
     with open(logdir / "calibration.json", "w") as f:
-        json.dump({"pres_threshold": 0.7, "scenes": 256}, f)
+        json.dump({"pres_threshold": 0.7, "nms_iou": 0.6,
+                   "scenes": 256}, f)
     assert resolve_threshold(None, str(logdir)) == 0.7
     assert resolve_threshold(0.55, str(logdir)) == 0.55
     assert resolve_threshold(None, None) == 0.5
+    assert resolve_nms(None, str(logdir)) == 0.6
+    assert resolve_nms(0.4, str(logdir)) == 0.4
+    assert resolve_nms(0.0, str(logdir)) is None  # explicit 0 disables
+    assert resolve_nms(None, None) is None
+    # pre-NMS calibration files (no nms_iou key) still resolve
+    with open(logdir / "calibration.json", "w") as f:
+        json.dump({"pres_threshold": 0.75, "scenes": 256}, f)
+    assert resolve_threshold(None, str(logdir)) == 0.75
+    assert resolve_nms(None, str(logdir)) is None
 
 
 def test_evaluate_reports_calibrated_det_metric():
