@@ -56,7 +56,12 @@ def main():
     p.add_argument("--logdir", required=True)
     p.add_argument("--scenes", type=int, default=1024)
     p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="presence threshold (default: the run's "
+                        "calibration.json if present, else 0.5)")
+    p.add_argument("--nms", type=float, default=None,
+                   help="NMS IoU (default: calibration.json, else off; "
+                        "0 forces off)")
     args = p.parse_args()
 
     from spair_pytorch_tpu.config import config_from_json
@@ -78,7 +83,12 @@ def main():
     dcfg = DataConfig(image_hw=cfg.image_shape[1:],
                       max_objects=cfg.max_scene_objects,
                       min_objects=max(1, cfg.max_scene_objects - 3))
-    det = jax.jit(lambda pp, x: detect(pp, x, cfg, args.threshold))
+    from spair_pytorch_tpu.serve import resolve_nms, resolve_threshold
+    threshold = resolve_threshold(args.threshold, args.logdir)
+    nms_iou = resolve_nms(args.nms, args.logdir)
+    print(f"operating point: threshold {threshold}, nms {nms_iou}")
+    det = jax.jit(lambda pp, x: detect(pp, x, cfg, threshold,
+                                       nms_iou=nms_iou))
 
     rows = []  # (gt_count, err, n_iou_pairs, n_close_pairs, n_soft_scores)
     n_b = max(1, args.scenes // args.batch)
