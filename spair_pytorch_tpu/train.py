@@ -436,6 +436,12 @@ def main(argv=None):
                         "measured cluttered-scene miscount mechanism "
                         "(benchmarks/cluttered_failure_modes.py). Engages "
                         "after the training wheel (step 1000). 0 = off")
+    p.add_argument("--count-prior-end", type=float, default=None,
+                   help="final annealed count-prior odds (reference: "
+                        "0.0125, tuned for 1-6-object scenes; on dense "
+                        "cluttered scenes the same pull is hypothesized "
+                        "to drive the extreme-overlap merge undercount "
+                        "-- see benchmarks/RESULTS.md residual anatomy)")
     p.add_argument("--box-prior", default="reference",
                    choices=["reference", "free"],
                    help="'reference': the reference's N(7.0,0.5) h/w-logit "
@@ -460,6 +466,12 @@ def main(argv=None):
     if args.box_prior == "free":
         from spair_pytorch_tpu.config import free_box_priors
         overrides["priors"] = free_box_priors()
+    if args.count_prior_end is not None:
+        import dataclasses
+
+        from spair_pytorch_tpu.config import COUNT_PRIOR
+        overrides["count_prior"] = dataclasses.replace(
+            COUNT_PRIOR, end=args.count_prior_end)
     cfg = PRESETS[args.preset](**overrides)
     train(cfg, steps=args.steps, logdir=args.logdir, hdf5=args.hdf5,
           data_source=args.data, use_mesh=args.mesh,
