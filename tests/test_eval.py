@@ -218,3 +218,18 @@ def test_train_calibrate_at_end_writes_artifact(tmp_path):
         cal = json.load(f)
     assert cal["pres_threshold"] in CALIB_THRESHOLDS
     assert cal["scenes"] == 2
+
+
+def test_count_prior_override_roundtrip():
+    """--count-prior-end persists through config.json (a Schedule field
+    override must survive serialization, like priors do)."""
+    import dataclasses
+
+    from spair_pytorch_tpu.config import (COUNT_PRIOR, PRESETS,
+                                          config_from_json, config_to_json)
+
+    cfg = PRESETS["cluttered"](
+        count_prior=dataclasses.replace(COUNT_PRIOR, end=0.1))
+    back = config_from_json(config_to_json(cfg))
+    assert back == cfg
+    assert back.count_prior.end == 0.1
