@@ -372,7 +372,11 @@ def train(cfg: SpairConfig,
         import json
 
         from spair_pytorch_tpu.eval import calibrate
-        cal = calibrate(cfg, state, batches=max(eval_batches, 1),
+        # >= 512 scenes: a 256-scene calibration mis-picked the threshold
+        # by 0.3 on a shifted score distribution (RESULTS.md count-prior
+        # A/B side-observation); the sweep costs seconds on TPU
+        cal = calibrate(cfg, state,
+                        batches=max(eval_batches, 512 // cfg.batch_size),
                         digits=digits)
         with open(os.path.join(logdir, "calibration.json"), "w") as f:
             json.dump(cal, f, indent=2)
