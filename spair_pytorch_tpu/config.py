@@ -297,6 +297,32 @@ def cluttered_config(**overrides) -> SpairConfig:
     return SpairConfig(**kw)
 
 
+# Finer-grid backbone for dense scenes: strides (2,2,2) -> 8px cells,
+# 16x16 grid (256 cells) on 128x128, receptive field 22px, pads (7,7,7,7)
+# (closed-form via ops/backbone.py::grid_geometry). Rationale: SPAIR is
+# one-object-per-cell; two digits stacked at high IoU have centers < 12px
+# apart and land in the SAME reference-topology cell, forcing a merge.
+# The residual cluttered failure mode is exactly those merges and it did
+# not respond to prior relief (benchmarks/RESULTS.md count-prior A/B), so
+# cell pitch is the model-level lever.
+FINE_BACKBONE_TOPOLOGY: Tuple[Tuple[int, int, int], ...] = (
+    (128, 4, 2),
+    (128, 4, 2),
+    (128, 4, 2),
+    (128, 1, 1),
+    (128, 1, 1),
+    (128, 1, 1),
+)
+
+
+def cluttered_fine_config(**overrides) -> SpairConfig:
+    """Cluttered scenes on the finer 8px-cell grid (no reference
+    counterpart — a capacity variant for extreme-overlap scenes)."""
+    kw = dict(backbone_topology=FINE_BACKBONE_TOPOLOGY)
+    kw.update(overrides)
+    return cluttered_config(**kw)
+
+
 def tpu_throughput_config(**overrides) -> SpairConfig:
     """BASELINE config 5: large-batch data-parallel TPU training."""
     kw = dict(batch_size=256, inference_mode="independent",
@@ -310,5 +336,6 @@ PRESETS = {
     "paper128": paper_config,
     "sequential": sequential_config,
     "cluttered": cluttered_config,
+    "cluttered_fine": cluttered_fine_config,
     "tpu_throughput": tpu_throughput_config,
 }
