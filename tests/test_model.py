@@ -502,3 +502,30 @@ class TestPresEntropy:
         grads = g(params)
         for leaf in jax.tree_util.tree_leaves(grads):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_fine_grid_topology_forward():
+    """Non-reference backbone topologies (e.g. the cluttered_fine 8px-cell
+    grid) derive a consistent geometry and train: forward loss and grads
+    finite on a 6x6 grid (strides 2,2,2 on 48x48)."""
+    import numpy as np
+
+    from spair_pytorch_tpu.models import forward
+    from spair_pytorch_tpu.models.latents import geometry
+    from spair_pytorch_tpu.models.spair import init_params
+
+    fine = ((16, 4, 2), (16, 4, 2), (16, 4, 2), (16, 1, 1))
+    cfg = tiny_config(backbone_topology=fine, batch_size=2,
+                      inference_mode="wavefront")
+    pads, (gh, gw), (ch, cw) = geometry(cfg)
+    assert (gh, gw) == (6, 6) and (ch, cw) == (8, 8)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (2,) + tuple(cfg.image_shape))
+    loss, aux = forward(params, cfg, x, 2000, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    assert aux["z_pres"].shape == (2, 1, 6, 6)
+    g = jax.grad(lambda p: forward(p, cfg, x, 2000,
+                                   jax.random.PRNGKey(2))[0])(params)
+    assert all(np.all(np.isfinite(l))
+               for l in jax.tree_util.tree_leaves(g))
