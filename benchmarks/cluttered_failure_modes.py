@@ -62,6 +62,9 @@ def main():
     p.add_argument("--nms", type=float, default=None,
                    help="NMS IoU (default: calibration.json, else off; "
                         "0 forces off)")
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step (default: latest) — for matched-"
+                        "step A/Bs between runs")
     args = p.parse_args()
 
     from spair_pytorch_tpu.config import config_from_json
@@ -76,7 +79,8 @@ def main():
     cfg = dataclasses.replace(cfg, batch_size=args.batch)
     state = create_train_state(cfg)
     state = CheckpointManager(os.path.join(args.logdir, "checkpoints")
-                              ).restore(state, params_only=True)
+                              ).restore(state, step=args.step,
+                                        params_only=True)
     assert state is not None
 
     bank = jnp.asarray(digit_bank("auto", (14, 14)))
