@@ -78,10 +78,9 @@ def evaluate(cfg, state, batches: int = 32, data=None, seed: int = 1234,
             # DIFFERENT scenes than the calibration set — seeds differ)
             scores_cal = det["scores"]
             if det_nms is not None:
-                from spair_pytorch_tpu.models.infer import nms_keep
-                keep = jax.vmap(nms_keep, in_axes=(0, 0, None))(
+                from spair_pytorch_tpu.models.infer import nms_keep_batch
+                scores_cal = scores_cal * nms_keep_batch(
                     det["boxes"], det["scores"], det_nms)
-                scores_cal = scores_cal * keep
             out["det_count_acc_cal"] = jnp.mean(
                 (jnp.sum(scores_cal >= det_threshold, axis=-1) == gt)
                 .astype(jnp.float32))

@@ -202,3 +202,41 @@ def test_detect_nms_drops_duplicate_counts():
     kept = np.asarray(nmsed["scores"]) > 0
     assert np.allclose(np.asarray(nmsed["scores"])[kept],
                        np.asarray(plain["scores"])[kept])
+
+
+def test_nms_keep_batch_matches_greedy():
+    """The batched fixpoint NMS must reproduce the per-image greedy keep
+    set EXACTLY — including multi-level suppression chains (a suppressed
+    box must not suppress, and its would-be victims resurrect)."""
+    from spair_pytorch_tpu.models.infer import nms_keep, nms_keep_batch
+
+    rng = np.random.RandomState(0)
+    # dense box soup on a small canvas -> heavy overlap, long chains
+    b, n = 4, 50
+    cxy = rng.uniform(0, 40, size=(b, n, 2))
+    wh = rng.uniform(4, 25, size=(b, n, 2))
+    boxes = jnp.asarray(np.concatenate([cxy - wh / 2, cxy + wh / 2], -1),
+                        jnp.float32)
+    scores = jnp.asarray(rng.uniform(size=(b, n)), jnp.float32)
+    for t in (0.2, 0.4, 0.6, 0.8):
+        ref = np.stack([np.asarray(nms_keep(boxes[i], scores[i], t))
+                        for i in range(b)])
+        got = np.asarray(nms_keep_batch(boxes, scores, t))
+        np.testing.assert_array_equal(got, ref, err_msg=f"iou_t={t}")
+
+
+def test_nms_keep_batch_hand_worked_chain():
+    """Batched NMS on the hand-worked chain case (suppressed B must not
+    suppress C) and under jit."""
+    from spair_pytorch_tpu.models.infer import nms_keep_batch
+
+    boxes = jnp.asarray([[
+        [0.0, 0.0, 10.0, 10.0],
+        [0.5, 0.5, 10.5, 10.5],   # duplicate of A -> suppressed
+        [5.0, 5.0, 13.0, 13.0],   # inside B, far from A -> resurrected
+        [50.0, 50.0, 60.0, 60.0],
+    ]])
+    scores = jnp.asarray([[0.9, 0.8, 0.7, 0.6]])
+    keep = np.asarray(jax.jit(nms_keep_batch, static_argnums=2)(
+        boxes, scores, 0.5))
+    assert keep[0].tolist() == [True, False, True, True]
