@@ -118,9 +118,17 @@ CALIB_NMS = (None, 0.5, 0.6, 0.7)
 
 def calibrate(cfg, state, batches: int = 8, data=None, seed: int = 4321,
               digits: str = "auto", thresholds=CALIB_THRESHOLDS,
-              nms_grid=CALIB_NMS):
+              nms_grid=CALIB_NMS, target: str = "count"):
     """Pick the detector operating point (presence threshold x NMS IoU)
     by exact-count accuracy on held-out scenes.
+
+    target='count' (default) maximizes exact count accuracy jointly over
+    (threshold x NMS). target='ap50' serves detection-quality deployments:
+    the NMS setting is picked by pooled dataset AP@0.5 over the calibration
+    scenes (AP integrates over the score ranking, so the presence threshold
+    cannot move it — only duplicate suppression can), and the threshold is
+    then picked by count accuracy WITHIN that NMS row, so the artifact
+    still serves a sensible count cutoff.
 
     Why this exists: on overlap-heavy scenes the posterior leaves
     BORDERLINE presence probabilities (benchmarks/cluttered_failure_modes.py
@@ -143,22 +151,44 @@ def calibrate(cfg, state, batches: int = 8, data=None, seed: int = 4321,
                 make_data(cfg, seed=seed, digits=digits))
     th = jnp.asarray(thresholds, dtype=jnp.float32)
 
-    @functools.partial(jax.jit, static_argnums=3)
-    def run(params, x, gt_count, nms_iou):
+    @functools.partial(jax.jit, static_argnums=4)
+    def run(params, x, gt_bbox, gt_count, nms_iou):
         det = detect(params, x, cfg, nms_iou=nms_iou)
         # counts per threshold: (B, T)
         counts = jnp.sum(det["scores"][:, None, :] >= th[None, :, None],
                          axis=-1)
-        return jnp.sum((counts == gt_count[:, :1]).astype(jnp.float32),
+        hits = jnp.sum((counts == gt_count[:, :1]).astype(jnp.float32),
                        axis=0)
+        matches = metric.match_boxes(det["boxes"], det["scores"],
+                                     gt_bbox, gt_count, iou_threshold=0.5)
+        return hits, matches
 
     hits = {g: np.zeros(len(thresholds)) for g in nms_grid}
+    pooled = {g: [] for g in nms_grid}  # (scores, tp, n_gt) per batch
     scenes = 0
     for _ in range(batches):
-        x, _, gt_count = next(data)
+        x, gt_bbox, gt_count = next(data)
         for g in nms_grid:
-            hits[g] += jax.device_get(run(state.params, x, gt_count, g))
+            h, m = jax.device_get(run(state.params, x, gt_bbox,
+                                      gt_count, g))
+            hits[g] += h
+            pooled[g].append(m)
         scenes += x.shape[0]
+
+    ap50 = {g: metric.average_precision(
+        np.concatenate([p[0] for p in pooled[g]]),
+        np.concatenate([p[1] for p in pooled[g]]),
+        np.concatenate([p[2] for p in pooled[g]])) for g in nms_grid}
+
+    if target == "ap50":
+        # NMS by pooled AP (ties prefer the simpler graph = earlier in the
+        # grid), then threshold by count accuracy within that row
+        best_g = max(nms_grid, key=lambda g: ap50[g])
+        grid_for_threshold = (best_g,)
+    elif target == "count":
+        grid_for_threshold = nms_grid
+    else:
+        raise ValueError(f"unknown calibration target {target!r}")
 
     table = {}
     best = (-1.0, None, 0.5)  # (acc, nms, threshold)
@@ -167,6 +197,8 @@ def calibrate(cfg, state, batches: int = 8, data=None, seed: int = 4321,
         key = "none" if g is None else f"{g:.1f}"
         table[key] = {f"{t:.2f}": float(a)
                       for t, a in zip(thresholds, acc)}
+        if g not in grid_for_threshold:
+            continue
         # ties within a grid row: prefer the threshold closest to 0.5
         # (least aggressive departure from the reference operating point)
         order = np.lexsort((np.abs(np.asarray(thresholds) - 0.5), -acc))
@@ -175,7 +207,10 @@ def calibrate(cfg, state, batches: int = 8, data=None, seed: int = 4321,
     return {
         "pres_threshold": float(best[2]),
         "nms_iou": best[1],
+        "target": target,
         "count_accuracy": table,
+        "ap_at_50": {("none" if g is None else f"{g:.1f}"): float(ap50[g])
+                     for g in nms_grid},
         "scenes": scenes,
         "seed": seed,
         "step": int(state.step),
@@ -205,6 +240,11 @@ def main(argv=None):
                         "<logdir>/calibration.json; serve.py then uses it")
     p.add_argument("--calib-batches", type=int, default=8,
                    help="batches for the calibration sweep")
+    p.add_argument("--calib-target", default="count",
+                   choices=["count", "ap50"],
+                   help="calibration objective: exact count accuracy "
+                        "(joint threshold x NMS) or pooled AP@0.5 (picks "
+                        "NMS by AP; threshold by count within that row)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -236,7 +276,7 @@ def main(argv=None):
     cal = None
     if args.calibrate:
         cal = calibrate(cfg, state, batches=args.calib_batches,
-                        digits=args.digits)
+                        digits=args.digits, target=args.calib_target)
         with open(cal_path, "w") as f:
             json.dump(cal, f, indent=2)
         print(f"calibrated pres_threshold = {cal['pres_threshold']}, "

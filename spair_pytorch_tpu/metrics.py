@@ -136,6 +136,16 @@ def match_predictions(z_where, z_pres, gt_bbox, gt_count, image_size: int,
     pred = jnp.concatenate([pred[..., :2] - half, pred[..., :2] + half],
                            axis=-1)
     scores = _flatten_grid(z_pres)[..., 0]                     # (B, N)
+    return match_boxes(pred, scores, gt_bbox, gt_count, iou_threshold)
+
+
+def match_boxes(pred, scores, gt_bbox, gt_count, iou_threshold: float = 0.5):
+    """``match_predictions`` for detector-format inputs: pixel-space
+    CORNER boxes (B, N, 4) [x0, y0, x1, y1] + scores (B, N) — the shape
+    ``models.infer.detect`` returns, optionally NMS-suppressed (suppressed
+    boxes carry score 0 and sit at the PR curve's tail past max recall,
+    where the VOC envelope ignores them). Same greedy score-ordered
+    matching rule; returns the same pooled (scores, tp, n_gt)."""
     gt = jnp.concatenate([gt_bbox[..., :2],
                           gt_bbox[..., :2] + gt_bbox[..., 2:]], axis=-1)
     m = gt.shape[1]

@@ -235,3 +235,53 @@ def test_count_prior_override_roundtrip():
     back = config_from_json(config_to_json(cfg))
     assert back == cfg
     assert back.count_prior.end == 0.1
+
+
+def test_calibrate_ap_target():
+    """target='ap50': NMS is picked by pooled AP@0.5 (max of the reported
+    AP table), the threshold by count accuracy WITHIN that NMS row, and
+    the artifact records its objective."""
+    from spair_pytorch_tpu.eval import CALIB_NMS, calibrate
+
+    cfg = tiny_config(inference_mode="independent", batch_size=4)
+    state = create_train_state(cfg)
+    data = OnDeviceScatteredDigits(
+        DataConfig(image_hw=(48, 48), patch_hw=(10, 10), max_objects=3),
+        batch=4, seed=12)
+    cal = calibrate(cfg, state, batches=2, data=data, target="ap50")
+    assert cal["target"] == "ap50"
+    keys = {"none" if g is None else f"{g:.1f}" for g in CALIB_NMS}
+    assert set(cal["ap_at_50"]) == keys
+    assert all(0.0 <= v <= 1.0 for v in cal["ap_at_50"].values())
+    nms_key = ("none" if cal["nms_iou"] is None
+               else f"{cal['nms_iou']:.1f}")
+    assert cal["ap_at_50"][nms_key] == max(cal["ap_at_50"].values())
+    # threshold is the count-accuracy argmax of the CHOSEN row only
+    row = cal["count_accuracy"][nms_key]
+    assert row[f"{cal['pres_threshold']:.2f}"] == max(row.values())
+
+
+def test_match_boxes_equals_match_predictions():
+    """The detector-format matching entry point must agree with the
+    grid-format one on the same geometry."""
+    import numpy as np
+
+    from spair_pytorch_tpu import metrics as metric
+
+    rng = np.random.RandomState(3)
+    b, gh, gw = 2, 3, 3
+    zw = rng.uniform(0.1, 0.6, size=(b, 4, gh, gw)).astype(np.float32)
+    zp = rng.uniform(size=(b, 1, gh, gw)).astype(np.float32)
+    gt_bbox = rng.uniform(5, 20, size=(b, 4, 4)).astype(np.float32)
+    gt_count = np.array([[3], [2]], np.int32)
+    img = 48
+    ref = metric.match_predictions(zw, zp, gt_bbox, gt_count, img)
+
+    pred = zw.transpose(0, 2, 3, 1).reshape(b, -1, 4) * img
+    corners = np.concatenate([pred[..., :2] - pred[..., 2:] / 2,
+                              pred[..., :2] + pred[..., 2:] / 2], -1)
+    scores = zp.transpose(0, 2, 3, 1).reshape(b, -1)
+    got = metric.match_boxes(corners, scores, gt_bbox, gt_count)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g),
+                                   rtol=1e-6, atol=1e-6)
