@@ -187,6 +187,19 @@ class SpairConfig:
     pres_gate_threshold: float = 0.0
     # Object-chunk size for the XLA compositor scan.
     render_chunk: int = 16
+    # Top-K live-object selection for ordered compositing (0 = off).
+    # Requires pres_gate_threshold > 0. The over operator is an exact
+    # identity for zero-alpha objects (img += T*0*c; T *= 1-0), and the
+    # gate zeroes sub-threshold alphas exactly, so compositing only the
+    # K highest-presence objects is EXACT in real arithmetic — values
+    # and gradients (measured: values bitwise, grads to ~4e-5 rel from
+    # compile-level backward reassociation) — as long as every image's
+    # live count is <= K; a lax.cond falls back to
+    # the full n-object scan otherwise (e.g. the dense training-wheel
+    # phase). Makes ordered-mode compositing scale with live objects
+    # (~1-12) instead of grid size (121/256), the same lever the Pallas
+    # skip gives the reference-mode kernel.
+    render_topk: int = 0
     # objects per block-diagonal chunk in the v3 compositor kernel
     # (render_backend='pallas_v3'; ops/pallas/composite_v3.py)
     render_chunk_k: int = 4

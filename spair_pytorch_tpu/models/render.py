@@ -255,8 +255,41 @@ def render(params, cfg: SpairConfig, z_attr, z_where, z_depth, z_pres,
     if cfg.render_mode == "ordered":
         if gate is not None:
             alpha = alpha * gate[:, :, None, None, None]
-        out = composite_ordered(color, alpha, flat(z_depth), boxes,
-                                image_hw, cfg.render_chunk)
+        depth_flat = flat(z_depth)
+        if cfg.render_topk > 0 and cfg.render_topk < n:
+            if gate is None:
+                raise ValueError(
+                    "render_topk requires pres_gate_threshold > 0: without "
+                    "the gate, dropped objects have small-but-nonzero alpha "
+                    "and top-K selection would change the composite")
+            # Top-K live-object ordered compositing. Gated objects have
+            # alpha EXACTLY 0 (masked above) and zero-alpha objects are
+            # identities under the over operator, so selecting the K
+            # highest-presence objects is exact — values AND gradients
+            # (dropped objects already get zero reconstruction gradient
+            # through the gate mask) — whenever every image's live count
+            # is <= K. The cond falls back to the full scan otherwise
+            # (the dense training-wheel phase), keeping semantics exact
+            # at every step. Parity asserted in tests/test_render_modes.py.
+            k = cfg.render_topk
+            scores = flat(z_pres)[..., 0]                       # (B, N)
+            _, top_idx = jax.lax.top_k(scores, k)               # (B, K)
+
+            def take_k(t):
+                idx = top_idx.reshape((b, k) + (1,) * (t.ndim - 2))
+                return jnp.take_along_axis(t, idx, axis=1)
+
+            live = jnp.sum(gate, axis=1)                        # (B,)
+            out = jax.lax.cond(
+                jnp.max(live) <= k,
+                lambda args: composite_ordered(
+                    *map(take_k, args), image_hw, cfg.render_chunk),
+                lambda args: composite_ordered(
+                    *args, image_hw, cfg.render_chunk),
+                (color, alpha, depth_flat, boxes))
+        else:
+            out = composite_ordered(color, alpha, depth_flat, boxes,
+                                    image_hw, cfg.render_chunk)
         return jnp.clip(out, 0.0, 1.0)
     backend = cfg.render_backend
     if backend == "auto":

@@ -432,6 +432,14 @@ def main(argv=None):
                         "z_pres below it are skipped. Opt-in speed/quality "
                         "trade — gated objects get no reconstruction "
                         "gradient; A/B before adopting")
+    p.add_argument("--render-topk", type=int, default=None,
+                   help="ordered-mode compositor: composite only the K "
+                        "highest-presence objects (cfg.render_topk). EXACT "
+                        "with --pres-gate (zero-alpha objects are over-"
+                        "operator identities; a cond falls back to the "
+                        "full scan when any image's live count exceeds K) "
+                        "— makes ordered compositing scale with live "
+                        "objects instead of grid size")
     p.add_argument("--pres-entropy", type=float, default=None,
                    help="weight of the Bernoulli-entropy penalty on the "
                         "relaxed presence probabilities "
@@ -465,6 +473,8 @@ def main(argv=None):
         overrides["render_mode"] = args.render_mode
     if args.pres_gate is not None:
         overrides["pres_gate_threshold"] = args.pres_gate
+    if args.render_topk is not None:
+        overrides["render_topk"] = args.render_topk
     if args.pres_entropy is not None:
         overrides["pres_entropy_weight"] = args.pres_entropy
     if args.box_prior == "free":

@@ -57,3 +57,102 @@ def test_forward_with_ordered_mode():
     mags = [float(jnp.abs(l).max()) for l in jax.tree_util.tree_leaves(g)]
     assert all(np.isfinite(m) for m in mags)
     assert max(mags) > 0
+
+
+def _topk_setup(pres_pattern, seed=0):
+    """Crafted latent grids for render(): pres_pattern (gh*gw,) scores."""
+    from spair_pytorch_tpu.models import init_params
+
+    gate = 0.01
+    base = tiny_config(inference_mode="independent", render_mode="ordered",
+                       render_chunk=4, pres_gate_threshold=gate)
+    params = init_params(jax.random.PRNGKey(seed), base)
+    b, gh, gw = 2, 4, 4
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed + 1), 3)
+    z_attr = jax.random.normal(k1, (b, gh, gw, base.n_attributes))
+    z_where = jnp.stack(jnp.meshgrid(jnp.linspace(0.2, 0.8, gw),
+                                     jnp.linspace(0.2, 0.8, gh)), -1)
+    z_where = jnp.broadcast_to(
+        jnp.concatenate([z_where, jnp.full((gh, gw, 2), 0.3)], -1)[None],
+        (b, gh, gw, 4))
+    z_depth = jax.random.uniform(k2, (b, gh, gw, 1), minval=0.5, maxval=3.5)
+    z_pres = jnp.broadcast_to(
+        jnp.asarray(pres_pattern, jnp.float32).reshape(1, gh, gw, 1),
+        (b, gh, gw, 1))
+    return base, params, (z_attr, z_where, z_depth, z_pres)
+
+
+def test_render_topk_exact_when_sparse():
+    """With 3 live objects and K=8, top-K ordered compositing must be
+    numerically identical to the full scan — values and gradients."""
+    import dataclasses
+
+    from spair_pytorch_tpu.models.render import render
+
+    pattern = np.full(16, 0.001)
+    pattern[[2, 7, 11]] = [0.9, 0.6, 0.3]  # 3 live (> 0.01 gate)
+    base, params, zs = _topk_setup(pattern)
+    topk = dataclasses.replace(base, render_topk=8)
+
+    def run(cfg, z_attr, z_where):
+        return render(params, cfg, z_attr, z_where, zs[2], zs[3], (48, 48))
+
+    out_full = run(base, zs[0], zs[1])
+    out_topk = run(topk, zs[0], zs[1])
+    np.testing.assert_allclose(np.asarray(out_topk), np.asarray(out_full),
+                               rtol=1e-6, atol=1e-6)
+
+    # gradients: identical in real arithmetic; the cond branch compiles a
+    # differently-fused backward, so allow reassociation-level f32 noise
+    # (a wrongly-included dropped object would show O(1) errors)
+    g_full = jax.grad(lambda a, w: jnp.sum(run(base, a, w) ** 2),
+                      argnums=(0, 1))(zs[0], zs[1])
+    g_topk = jax.grad(lambda a, w: jnp.sum(run(topk, a, w) ** 2),
+                      argnums=(0, 1))(zs[0], zs[1])
+    for gf, gt in zip(g_full, g_topk):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gf),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_render_topk_fallback_when_dense():
+    """With 16 live objects and K=8, the cond must take the full-scan
+    branch: output still identical to render_topk=0."""
+    import dataclasses
+
+    from spair_pytorch_tpu.models.render import render
+
+    base, params, zs = _topk_setup(np.full(16, 0.9), seed=5)
+    topk = dataclasses.replace(base, render_topk=8)
+    out_full = render(params, base, *zs, (48, 48))
+    out_topk = render(params, topk, *zs, (48, 48))
+    np.testing.assert_allclose(np.asarray(out_topk), np.asarray(out_full),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_render_topk_requires_gate():
+    import dataclasses
+
+    import pytest
+
+    from spair_pytorch_tpu.models.render import render
+
+    base, params, zs = _topk_setup(np.full(16, 0.5))
+    nogate = dataclasses.replace(base, render_topk=8,
+                                 pres_gate_threshold=0.0)
+    with pytest.raises(ValueError, match="render_topk"):
+        render(params, nogate, *zs, (48, 48))
+
+
+def test_forward_with_topk_trains():
+    """Full training graph (loss + grad) with the top-K cond inside."""
+    cfg = tiny_config(inference_mode="wavefront", render_mode="ordered",
+                      render_chunk=4, pres_gate_threshold=0.01,
+                      render_topk=8)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
+    loss, aux = forward(params, cfg, x, 2000, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: forward(p, cfg, x, 2000,
+                                   jax.random.PRNGKey(2))[0])(params)
+    mags = [float(jnp.abs(l).max()) for l in jax.tree_util.tree_leaves(g)]
+    assert all(np.isfinite(m) for m in mags) and max(mags) > 0
