@@ -150,10 +150,19 @@ def main():
                    help="seconds between trials (time diversity against "
                         "tunnel latency windows)")
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--preset", default="paper128",
+                   help="config preset (paper128 = the headline; cluttered/"
+                        "cluttered_fine sweeps use their own scene density)")
     p.add_argument("--mode", default="wavefront",
                    choices=["independent", "raster", "wavefront"])
     p.add_argument("--render", default=None,
                    choices=[None, "xla", "pallas", "pallas_v3"])
+    p.add_argument("--render-mode", default=None,
+                   choices=[None, "reference", "ordered"],
+                   help="compositing semantics override (cfg.render_mode)")
+    p.add_argument("--topk", type=int, default=None,
+                   help="ordered-mode top-K live-object compositing "
+                        "(cfg.render_topk); needs --gate")
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--gate", type=float, default=None,
@@ -181,7 +190,7 @@ def main():
 
     import jax
 
-    from spair_pytorch_tpu.config import paper_config
+    from spair_pytorch_tpu.config import PRESETS
     from spair_pytorch_tpu.data import DataConfig, glyph_bank
     from spair_pytorch_tpu.parallel import create_train_state, make_train_step
 
@@ -189,17 +198,25 @@ def main():
                      compute_dtype=args.compute_dtype)
     if args.render:
         overrides["render_backend"] = args.render
+    if args.render_mode:
+        overrides["render_mode"] = args.render_mode
+    if args.topk is not None:
+        overrides["render_topk"] = args.topk
     if args.count_kl:
         overrides["count_prior_parallel"] = args.count_kl == "par"
     if args.remat:
         overrides["scan_remat_policy"] = args.remat
     if args.gate is not None:
         overrides["pres_gate_threshold"] = args.gate
-    cfg = paper_config(**overrides)
+    cfg = PRESETS[args.preset](**overrides)
 
     import jax.numpy as jnp
     bank = jnp.asarray(glyph_bank((14, 14)))
-    dcfg = DataConfig(image_hw=cfg.image_shape[1:], max_objects=6)
+    # scene density follows the preset (paper128: 1-6 -> identical to the
+    # historical hardcoded max_objects=6 headline data)
+    dcfg = DataConfig(image_hw=cfg.image_shape[1:],
+                      max_objects=cfg.max_scene_objects,
+                      min_objects=cfg.min_scene_objects)
 
     # K steps fused into one dispatch (BASELINE config 5 datagen + step).
     k = args.steps
