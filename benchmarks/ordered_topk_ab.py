@@ -28,8 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def delta_time(fn, init, k):
-    jitted = jax.jit(fn)
+def delta_time(jitted, init, k):
     c = jitted(init)
     jax.device_get(jax.tree_util.tree_leaves(c)[0].ravel()[0])
 
@@ -125,10 +124,13 @@ def main():
         print(f"  parity vs full: {name:8s} max|err| {err:.2e}")
         assert err < 2e-2, name  # bf16 compute; gated alphas <= 0.01
 
+    # jit once per arm (outside the rounds loop — a fresh closure per round
+    # would miss jax's function-identity jit cache and recompile every time)
+    jitted = {name: jax.jit(make_fwdbwd(cfg)) for name, cfg in arms.items()}
     results = {name: [] for name in arms}
     for r in range(args.rounds):
-        for name, cfg in arms.items():  # interleaved
-            dt = delta_time(make_fwdbwd(cfg), z_attr0, args.k)
+        for name in arms:  # interleaved
+            dt = delta_time(jitted[name], z_attr0, args.k)
             results[name].append(dt * 1e3)
     print(f"\nrender fwd+bwd ms (K={args.k} fused, delta-timed, "
           f"{args.rounds} interleaved rounds):")
