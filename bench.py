@@ -187,6 +187,9 @@ def main():
                         "window produces a finite loss; result is recorded "
                         "in the output JSON")
     args = p.parse_args()
+    if args.topk is not None and args.gate is None:
+        p.error("--topk requires --gate (top-K selection is exact only "
+                "over gate-zeroed alpha; see cfg.render_topk)")
 
     import jax
 

@@ -142,14 +142,18 @@ def match_predictions(z_where, z_pres, gt_bbox, gt_count, image_size: int,
 def match_boxes(pred, scores, gt_bbox, gt_count, iou_threshold: float = 0.5):
     """``match_predictions`` for detector-format inputs: pixel-space
     CORNER boxes (B, N, 4) [x0, y0, x1, y1] + scores (B, N) — the shape
-    ``models.infer.detect`` returns, optionally NMS-suppressed (suppressed
-    boxes carry score 0 and sit at the PR curve's tail past max recall,
-    where the VOC envelope ignores them). Same greedy score-ordered
-    matching rule; returns the same pooled (scores, tp, n_gt)."""
+    ``models.infer.detect`` returns, optionally NMS-suppressed. Suppressed
+    boxes carry score 0 and are EXCLUDED from matching entirely: they can
+    neither register a true positive nor claim a GT (without the exclusion
+    a wrongly-suppressed true detection would keep a tail-precision sliver
+    of AP mass, biasing NMS calibration toward over-suppression — ADVICE
+    round 3). Same greedy score-ordered matching rule; returns the same
+    pooled (scores, tp, n_gt)."""
     gt = jnp.concatenate([gt_bbox[..., :2],
                           gt_bbox[..., :2] + gt_bbox[..., 2:]], axis=-1)
     m = gt.shape[1]
     gt_valid = jnp.arange(m)[None] < gt_count                   # (B, M)
+    pred_valid = (scores > 0.0).astype(jnp.float32)             # (B, N)
 
     inter = intersect(pred, gt)
     area_a = ((pred[..., 2] - pred[..., 0])
@@ -160,9 +164,9 @@ def match_boxes(pred, scores, gt_bbox, gt_count, iou_threshold: float = 0.5):
 
     order = jnp.argsort(-scores, axis=1)                        # (B, N)
 
-    def per_image(ious_i, order_i, valid_i):
+    def per_image(ious_i, order_i, valid_i, pvalid_i):
         def body(matched, idx):
-            cand = ious_i[idx] * valid_i * (1.0 - matched)
+            cand = ious_i[idx] * valid_i * (1.0 - matched) * pvalid_i[idx]
             j = jnp.argmax(cand)
             hit = cand[j] >= iou_threshold
             matched = matched.at[j].max(hit.astype(matched.dtype))
@@ -174,7 +178,8 @@ def match_boxes(pred, scores, gt_bbox, gt_count, iou_threshold: float = 0.5):
             jnp.arange(order_i.shape[0]))
         return tp_ordered[inv]
 
-    tp = jax.vmap(per_image)(ious, order, gt_valid.astype(jnp.float32))
+    tp = jax.vmap(per_image)(ious, order, gt_valid.astype(jnp.float32),
+                             pred_valid)
     return scores, tp, jnp.sum(gt_valid, axis=1)
 
 
@@ -187,6 +192,10 @@ def average_precision(scores, tp, n_gt) -> float:
     total_gt = float(np.sum(np.asarray(n_gt)))
     if total_gt == 0:
         return 0.0
+    # NMS-suppressed predictions (score 0, tp forced 0 by match_boxes) are
+    # dropped rather than integrated as tail false positives
+    live = scores > 0.0
+    scores, tp = scores[live], tp[live]
     order = np.argsort(-scores)
     tp = tp[order]
     cum_tp = np.cumsum(tp)

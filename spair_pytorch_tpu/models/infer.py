@@ -92,17 +92,22 @@ def nms_keep_batch(boxes, scores, iou_threshold: float):
     lower = jnp.tril(jnp.ones((n, n), bool), k=-1)
     edge = (iou > iou_threshold) & lower[None]
 
+    # sweep cap: convergence needs (suppression-chain depth + 1) <= n
+    # sweeps (each sweep finalizes one more depth level), so the counter
+    # only bounds pathological layouts — worst case n full (B, N, N)
+    # reduces, same as n steps of the sequential loop (ADVICE round 3)
     def cond(state):
-        _, changed = state
-        return changed
+        _, changed, i = state
+        return changed & (i < n)
 
     def body(state):
-        keep, _ = state
+        keep, _, i = state
         new = ~jnp.any(edge & keep[:, None, :], axis=-1)
-        return new, jnp.any(new != keep)
+        return new, jnp.any(new != keep), i + 1
 
-    keep, _ = jax.lax.while_loop(
-        cond, body, (jnp.ones((b, n), bool), jnp.array(True)))
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.ones((b, n), bool), jnp.array(True),
+                     jnp.array(0, jnp.int32)))
     inv = jnp.argsort(order, axis=-1)
     return jnp.take_along_axis(keep, inv, axis=1)
 

@@ -279,7 +279,10 @@ def render(params, cfg: SpairConfig, z_attr, z_where, z_depth, z_pres,
                 idx = top_idx.reshape((b, k) + (1,) * (t.ndim - 2))
                 return jnp.take_along_axis(t, idx, axis=1)
 
-            live = jnp.sum(gate, axis=1)                        # (B,)
+            # count in int32, NOT color.dtype: bf16 integer sums are exact
+            # only to 256 and a >256-cell grid would silently miscount,
+            # flipping the exact-top-K branch condition (ADVICE round 3)
+            live = jnp.sum((gate > 0).astype(jnp.int32), axis=1)  # (B,)
             out = jax.lax.cond(
                 jnp.max(live) <= k,
                 lambda args: composite_ordered(

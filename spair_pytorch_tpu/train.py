@@ -97,6 +97,17 @@ def train(cfg: SpairConfig,
         stamp = datetime.datetime.now().strftime("%b-%d")
         hms = datetime.datetime.now().strftime("%H%M%S")
         logdir = os.path.join("logs_v2", f"{stamp}-{slug}-{hms}")
+    # Bind end-of-run dependencies BEFORE the step loop: round 3 lost a
+    # 100k-step run's calibration because the lazy end-of-run import pulled
+    # a NEW eval.py into a process whose already-imported metrics module
+    # predated it (source was edited mid-run) — the mixed-version call
+    # crashed at the very last step. Importing here pins a consistent
+    # module set at process start. (Function-level import: eval imports
+    # train, so a module-level import would be circular.)
+    calibrate_fn = None
+    if calibrate_at_end:
+        from spair_pytorch_tpu.eval import calibrate as calibrate_fn
+
     writer = MetricWriter(logdir)
     # persist the exact config so eval/export can reconstruct the run
     # without re-deriving preset+flags (eval.py prefers this file)
@@ -365,25 +376,39 @@ def train(cfg: SpairConfig,
     if ckpt:
         ckpt.save(state)
         ckpt.wait()
+    calibration_error = None
     if calibrate_at_end and logdir:
         # leave the run serving-ready: sweep the detector presence
         # threshold on held-out scenes and store it next to the checkpoint
-        # (serve.py resolves its threshold from calibration.json)
+        # (serve.py resolves its threshold from calibration.json). Guarded:
+        # a failure here must never take the run report with it — the
+        # checkpoints and metrics above are already durable, so log the
+        # error, finish cleanly, and surface it as a nonzero exit.
         import json
-
-        from spair_pytorch_tpu.eval import calibrate
-        # >= 512 scenes: a 256-scene calibration mis-picked the threshold
-        # by 0.3 on a shifted score distribution (RESULTS.md count-prior
-        # A/B side-observation); the sweep costs seconds on TPU
-        cal = calibrate(cfg, state,
-                        batches=max(eval_batches, 512 // cfg.batch_size),
-                        digits=digits)
-        with open(os.path.join(logdir, "calibration.json"), "w") as f:
-            json.dump(cal, f, indent=2)
-        if verbose:
-            print(f"calibrated pres_threshold = {cal['pres_threshold']} "
-                  f"({cal['scenes']} scenes) -> calibration.json")
+        try:
+            # >= 512 scenes: a 256-scene calibration mis-picked the
+            # threshold by 0.3 on a shifted score distribution (RESULTS.md
+            # count-prior A/B side-observation); the sweep costs seconds
+            cal = calibrate_fn(cfg, state,
+                               batches=max(eval_batches,
+                                           512 // cfg.batch_size),
+                               digits=digits)
+            with open(os.path.join(logdir, "calibration.json"), "w") as f:
+                json.dump(cal, f, indent=2)
+            if verbose:
+                print(f"calibrated pres_threshold = {cal['pres_threshold']} "
+                      f"({cal['scenes']} scenes) -> calibration.json")
+        except Exception as e:  # noqa: BLE001 — deliberate catch-all guard
+            calibration_error = e
+            print(f"calibrate-at-end FAILED ({type(e).__name__}: {e}); "
+                  f"checkpoints and metrics are intact under {logdir} — "
+                  f"rerun via: python -m spair_pytorch_tpu.eval "
+                  f"--logdir {logdir} --calibrate")
     writer.close()
+    if calibration_error is not None:
+        raise SystemExit(
+            f"calibrate-at-end failed: {calibration_error!r} "
+            f"(training artifacts under {logdir} are complete)")
     return state
 
 

@@ -222,6 +222,35 @@ def test_train_calibrate_at_end_writes_artifact(tmp_path):
     assert cal["scenes"] >= 512
 
 
+def test_train_calibrate_at_end_failure_preserves_run(tmp_path, monkeypatch):
+    """A calibrate-at-end crash must never take the run report with it
+    (round 3 lost a 100k-run's calibration this way): checkpoints and
+    metrics stay durable, and the failure surfaces as SystemExit with a
+    clear message instead of a raw traceback mid-teardown."""
+    import os
+
+    import pytest
+
+    from spair_pytorch_tpu import eval as eval_mod
+    from spair_pytorch_tpu.train import train
+
+    def boom(*a, **k):
+        raise AttributeError("simulated mixed-module-version crash")
+
+    monkeypatch.setattr(eval_mod, "calibrate", boom)
+    cfg = tiny_config(inference_mode="independent", batch_size=2)
+    logdir = str(tmp_path / "run")
+    with pytest.raises(SystemExit, match="calibrate-at-end failed"):
+        train(cfg, steps=2, logdir=logdir, checkpoint_every=2,
+              metrics_every=0, verbose=False, eval_every=0, eval_batches=1,
+              calibrate_at_end=True)
+    # the run directory is complete: checkpoint saved, metrics flushed
+    ckpts = os.listdir(os.path.join(logdir, "checkpoints"))
+    assert ckpts, "final checkpoint must survive a calibration crash"
+    assert os.path.exists(os.path.join(logdir, "metrics.jsonl"))
+    assert not os.path.exists(os.path.join(logdir, "calibration.json"))
+
+
 def test_count_prior_override_roundtrip():
     """--count-prior-end persists through config.json (a Schedule field
     override must survive serialization, like priors do)."""
