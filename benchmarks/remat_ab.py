@@ -23,6 +23,11 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--k", type=int, default=25)
     p.add_argument("--rounds", type=int, default=4)
+    p.add_argument("--arms", default="dots,full",
+                   help="comma list from {dots, full, off, uN}: off = "
+                        "scan_remat=False (store residuals); uN = "
+                        "remat=full with scan_unroll=N (amortize "
+                        "while-loop overhead across N bodies)")
     args = p.parse_args()
 
     from spair_pytorch_tpu.config import paper_config
@@ -32,11 +37,16 @@ def main():
     bank = jnp.asarray(glyph_bank((14, 14)))
     k = args.k
     arms = {}
-    for name, policy in [("dots", "dots"), ("full", "full")]:
+    for name in args.arms.split(","):
+        if name == "off":
+            over = dict(scan_remat=False)
+        elif name.startswith("u"):
+            over = dict(scan_unroll=int(name[1:]))
+        else:
+            over = dict(scan_remat_policy=name)
         cfg = paper_config(batch_size=args.batch, compute_dtype="bfloat16",
                            inference_mode="wavefront",
-                           count_prior_parallel=True,
-                           scan_remat_policy=policy)
+                           count_prior_parallel=True, **over)
         dcfg = DataConfig(image_hw=cfg.image_shape[1:], max_objects=6)
         step = make_train_step(cfg, datagen=(dcfg, bank), steps_per_call=k)
         state = create_train_state(cfg)
@@ -58,13 +68,12 @@ def main():
         arms[name] = (step, state)
         return (t3 - t1) / (2 * k)
 
+    names = list(arms)
     for rnd in range(args.rounds):
         if rnd:
             time.sleep(10)
-        a = delta("dots")
-        b = delta("full")
-        print(f"round {rnd}: dots {a * 1e3:7.2f} ms | full {b * 1e3:7.2f} ms",
-              flush=True)
+        row = " | ".join(f"{n} {delta(n) * 1e3:7.2f} ms" for n in names)
+        print(f"round {rnd}: {row}", flush=True)
 
 
 if __name__ == "__main__":
