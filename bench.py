@@ -165,19 +165,27 @@ def main():
                         "(cfg.render_topk); needs --gate")
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
-    p.add_argument("--gate", type=float, default=None,
+    p.add_argument("--gate", type=float, default=0.01,
                    help="presence-gate threshold (cfg.pres_gate_threshold); "
-                        "combine with --pretrain so the timed region sees "
-                        "post-count-prior sparsity, not the dense init")
-    p.add_argument("--pretrain", type=int, default=0,
+                        "0 disables. DEFAULT 0.01 since round 4: the "
+                        "headline measures the best quality-parity config "
+                        "(50k gated-vs-ungated training A/B at parity, "
+                        "benchmarks/RESULTS.md; --check's gated leg is the "
+                        "kernel guard). Combine with --pretrain so the "
+                        "timed region sees post-count-prior sparsity")
+    p.add_argument("--pretrain", type=int, default=2500,
                    help="run N untimed training steps before the timed "
                         "region (steady-state throughput: presence maps "
                         "are sparse only after the count prior engages "
-                        "~step 1000)")
+                        "~step 1000). DEFAULT 2500 since round 4; 0 gives "
+                        "the historical cold-start timing")
     p.add_argument("--count-kl", default=None, choices=[None, "seq", "par"],
                    help="override count-prior KL implementation")
-    p.add_argument("--remat", default=None, choices=[None, "full", "dots"],
-                   help="override scan remat policy (config default: full)")
+    p.add_argument("--remat", default=None,
+                   choices=[None, "full", "dots", "none"],
+                   help="override scan remat policy (config default: full; "
+                        "'none' disables remat — store residuals, halve "
+                        "the backward's serial replay)")
     p.add_argument("--baseline-ips", type=float,
                    default=REFERENCE_BASELINE_IPS)
     p.add_argument("--check", action="store_true",
@@ -187,9 +195,9 @@ def main():
                         "window produces a finite loss; result is recorded "
                         "in the output JSON")
     args = p.parse_args()
-    if args.topk is not None and args.gate is None:
-        p.error("--topk requires --gate (top-K selection is exact only "
-                "over gate-zeroed alpha; see cfg.render_topk)")
+    if args.topk is not None and not args.gate > 0:
+        p.error("--topk requires --gate > 0 (top-K selection is exact "
+                "only over gate-zeroed alpha; see cfg.render_topk)")
 
     import jax
 
@@ -207,10 +215,11 @@ def main():
         overrides["render_topk"] = args.topk
     if args.count_kl:
         overrides["count_prior_parallel"] = args.count_kl == "par"
-    if args.remat:
+    if args.remat == "none":
+        overrides["scan_remat"] = False
+    elif args.remat:
         overrides["scan_remat_policy"] = args.remat
-    if args.gate is not None:
-        overrides["pres_gate_threshold"] = args.gate
+    overrides["pres_gate_threshold"] = args.gate
     cfg = PRESETS[args.preset](**overrides)
 
     import jax.numpy as jnp

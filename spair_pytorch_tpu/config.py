@@ -221,6 +221,23 @@ class SpairConfig:
     # (reference parity).
     pres_entropy_weight: float = 0.0
 
+    # Objects inferred per grid cell (1 = reference parity: the reference's
+    # one-object-per-cell assumption is structural, models.py:68 — one
+    # z_where/z_what/z_depth/z_pres tuple per cell, 12 px pitch per
+    # modules.py:68-105). The measured residual failure on cluttered
+    # scenes is MERGES at extreme overlap (two digits -> one detection;
+    # benchmarks/cluttered_failure_modes.py: 5+-overlap-pair stratum at
+    # 0.58-0.60 exact count acc while 0-overlap sits at 0.95+), which a
+    # finer grid only partially fixes — two digit centers can share any
+    # cell at any pitch. n_object_slots = S gives every cell S independent
+    # (box, attr, depth, pres) tuples: slot-specific box-head weights break
+    # the symmetry, the encoder/z/obj nets are weight-shared across slots,
+    # the lateral-context element carries all S tuples (S*56 dims), and
+    # downstream code sees a virtual (gh, gw*S) grid so the renderer, KLs,
+    # metrics and detector are unchanged. The count prior's support scales
+    # to S*HW slots in raster order (cell-major, slot-minor).
+    n_object_slots: int = 1
+
     # --- data/scene ---
     # object count range per generated scene (bbox slots); the cluttered
     # preset (BASELINE config 4) uses 9..12
@@ -247,8 +264,9 @@ class SpairConfig:
 
     @property
     def context_elem_dim(self) -> int:
-        """Per-neighbor context vector: box(4)+attr+depth(1)+pres(1)."""
-        return 4 + self.n_attributes + 1 + 1
+        """Per-neighbor context vector: box(4)+attr+depth(1)+pres(1),
+        per object slot (reference: one slot, 56 dims, models.py:26)."""
+        return (4 + self.n_attributes + 1 + 1) * self.n_object_slots
 
     @property
     def context_dim(self) -> int:
@@ -330,8 +348,16 @@ FINE_BACKBONE_TOPOLOGY: Tuple[Tuple[int, int, int], ...] = (
 
 def cluttered_fine_config(**overrides) -> SpairConfig:
     """Cluttered scenes on the finer 8px-cell grid (no reference
-    counterpart — a capacity variant for extreme-overlap scenes)."""
-    kw = dict(backbone_topology=FINE_BACKBONE_TOPOLOGY)
+    counterpart — a capacity variant for extreme-overlap scenes).
+
+    Ships with presence-gated top-K compositing on: at 256 cells the
+    ordered compositor's full scan costs 47 ms fwd+bwd vs 7.9 ms for
+    gate+topk32 (5.9x, benchmarks/RESULTS.md round-4 "ordered-compositor
+    top-K"), and the gate's training-quality parity was established by the
+    round-3 50k A/B. Set pres_gate_threshold=0 to get the exact ungated
+    semantics back."""
+    kw = dict(backbone_topology=FINE_BACKBONE_TOPOLOGY,
+              pres_gate_threshold=0.01, render_topk=32)
     kw.update(overrides)
     return cluttered_config(**kw)
 
@@ -344,6 +370,28 @@ def tpu_throughput_config(**overrides) -> SpairConfig:
     return SpairConfig(**kw)
 
 
+def quality_config(**overrides) -> SpairConfig:
+    """Every measured quality winner in one preset (the recommended
+    recipe for dense/overlapping scenes; benchmarks/RESULTS.md):
+
+      * 16x16 fine grid        (calibrated count acc 0.826 -> 0.840)
+      * free box priors        (boxes shrink to the ink; AP@0.5 0.995+
+                                vs 0.73-class with the anchor-pinned
+                                reference prior on cluttered scenes)
+      * ordered compositing    (corrected z-depth alpha-over; the
+                                measured winner on overlap-heavy scenes)
+      * presence-gated top-K   (5.9x compositor time at quality parity)
+
+    Train with --calibrate-at-end so the run ships its detector operating
+    point (threshold x NMS calibration added another +0.09 exact count
+    accuracy on cluttered scenes at zero training cost). The reference
+    contrast: its entire config surface is one --gpu flag (train.py:24-30).
+    """
+    kw = dict(priors=free_box_priors(), render_mode="ordered")
+    kw.update(overrides)
+    return cluttered_fine_config(**kw)
+
+
 PRESETS = {
     "small48": small_config,
     "paper128": paper_config,
@@ -351,4 +399,5 @@ PRESETS = {
     "cluttered": cluttered_config,
     "cluttered_fine": cluttered_fine_config,
     "tpu_throughput": tpu_throughput_config,
+    "quality": quality_config,
 }

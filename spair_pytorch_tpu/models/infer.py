@@ -129,7 +129,7 @@ def detect(params, x, cfg: SpairConfig, pres_threshold: float = 0.5,
     # value-neutral, so any step works; this documents intent
     z = infer_latents(params, cfg, x, 10 ** 6, jax.random.PRNGKey(0), noise)
 
-    n = gh * gw
+    n = gh * gw * cfg.n_object_slots
     img_h, img_w = cfg.image_shape[1:]
     zw = z["z_where"].reshape(b, n, 4)  # [xt, yt, xs, ys] normalized
     cx, cy = zw[..., 0] * img_w, zw[..., 1] * img_h

@@ -67,7 +67,11 @@ def init_params(key, cfg: SpairConfig) -> Dict:
                            (oh * ow * (c + 1),))
     params = {
         "backbone": init_backbone(keys[0], c, n_feat, cfg.backbone_topology),
-        "box_net": init_mlp(keys[1], box_in, cfg.mlp_hidden, (8, n_pass)),
+        # box head widens to 8 per slot: slot-SPECIFIC head weights break
+        # the symmetry between a cell's slots (encoder/z/obj nets below are
+        # weight-shared across slots — their inputs already differ)
+        "box_net": init_mlp(keys[1], box_in, cfg.mlp_hidden,
+                            (8 * cfg.n_object_slots, n_pass)),
         "object_encoder": encoder,
         "z_net": init_mlp(keys[3], z_in, cfg.mlp_hidden, (2, n_pass)),
         "obj_net": init_mlp(keys[4], obj_in, cfg.mlp_hidden, (1,)),
@@ -93,12 +97,16 @@ def init_params(key, cfg: SpairConfig) -> Dict:
 def _init_edge_element(key, cfg: SpairConfig):
     """Learnable virtual edge cell (reference models.py:273-290): random
     normal, with sigmoid applied ONCE at init to the loc/depth/pres slices
-    (SURVEY.md quirk #13). Layout [loc(4), attr(A), depth(1), pres(1)]."""
+    (SURVEY.md quirk #13). Layout [loc(4), attr(A), depth(1), pres(1)],
+    repeated per object slot (n_object_slots > 1)."""
     t = jax.random.normal(key, (cfg.context_elem_dim,))
-    loc, attr, depth, pres = jnp.split(
-        t, [4, 4 + cfg.n_attributes, 4 + cfg.n_attributes + 1])
-    return jnp.concatenate([jax.nn.sigmoid(loc), attr,
-                            jax.nn.sigmoid(depth), jax.nn.sigmoid(pres)])
+    t = t.reshape(cfg.n_object_slots, -1)  # (S, 56): pattern per slot
+    a = cfg.n_attributes
+    loc, attr, depth, pres = jnp.split(t, [4, 4 + a, 4 + a + 1], axis=-1)
+    out = jnp.concatenate([jax.nn.sigmoid(loc), attr,
+                           jax.nn.sigmoid(depth), jax.nn.sigmoid(pres)],
+                          axis=-1)
+    return out.reshape(-1)
 
 
 def sample_noise(key, batch: int, grid_hw: Tuple[int, int], cfg: SpairConfig):
@@ -112,12 +120,13 @@ def sample_noise(key, batch: int, grid_hw: Tuple[int, int], cfg: SpairConfig):
     gh, gw = grid_hw
     ks = jax.random.split(key, 4)
     a = cfg.n_attributes
-    u = jax.random.uniform(ks[3], (batch, gh, gw, 1))
+    s = cfg.n_object_slots  # widths scale per slot (slot-major layout)
+    u = jax.random.uniform(ks[3], (batch, gh, gw, s))
     eps = 1e-9  # reference eps = 10e-10 (models.py:402)
     return {
-        "box": jax.random.normal(ks[0], (batch, gh, gw, 4)),
-        "attr": jax.random.normal(ks[1], (batch, gh, gw, a)),
-        "depth": jax.random.normal(ks[2], (batch, gh, gw, 1)),
+        "box": jax.random.normal(ks[0], (batch, gh, gw, 4 * s)),
+        "attr": jax.random.normal(ks[1], (batch, gh, gw, a * s)),
+        "depth": jax.random.normal(ks[2], (batch, gh, gw, s)),
         "pres_noise": jnp.log(u + eps) - jnp.log(1.0 - u + eps),
     }
 
@@ -158,17 +167,31 @@ def cell_step(params, cfg: SpairConfig, geom, image, feat_cells, context,
 
     Returns a dict with sampled latents, posterior (mean, std) pairs keyed by
     the reference's distribution names, the presence probability, and the
-    56-dim context vector each cell exposes to its neighbors.
+    S*56-dim context vector each cell exposes to its neighbors.
+
+    With n_object_slots = S > 1, every per-object quantity carries an
+    internal slot axis (B, K, S, ·) and is folded slot-major into the last
+    dim (B, K, S*·) on return — infer_latents unfolds it into a virtual
+    (gh, gw*S) grid so every downstream consumer is unchanged. S = 1
+    computes exactly the reference semantics.
     """
     _, grid, cell_px = geom
     img_h, img_w = cfg.image_shape[1:]
+    s = cfg.n_object_slots
+    b, k = feat_cells.shape[:2]
+
+    def per_slot(t):  # (B, K, S*d) -> (B, K, S, d)
+        return t.reshape(b, k, s, -1)
+
+    def fold(t):      # (B, K, S, d) -> (B, K, S*d)
+        return t.reshape(b, k, -1)
 
     # --- z_where (reference models.py:76-79, 322-381) ---
     box_in = jnp.concatenate([feat_cells, context], axis=-1)
     box_latent, passthru = apply_mlp(params["box_net"], box_in, dtype)
-    mean, std = latent_to_mean_std(box_latent)
+    mean, std = latent_to_mean_std(per_slot(box_latent))   # (B, K, S, 4)
     mean, std = freeze_learning(mean, tw), freeze_learning(std, tw)
-    box_logits = mean + std * noise["box"]  # rsample, order (cy, cx, h, w)
+    box_logits = mean + std * per_slot(noise["box"])  # order (cy, cx, h, w)
     cy_l, cx_l, h_l, w_l = jnp.split(box_logits, 4, axis=-1)
 
     yx_range = cfg.max_yx - cfg.min_yx
@@ -184,62 +207,70 @@ def cell_step(params, cfg: SpairConfig, geom, image, feat_cells, context,
     # image-normalized [xt, yt, xs, ys] (reference models.py:363-376)
     ys = height * cfg.anchor_shape[0] / img_h
     xs = width * cfg.anchor_shape[1] / img_w
-    h_idx = cell_hw[:, 0].astype(jnp.float32)[None, :, None]
-    w_idx = cell_hw[:, 1].astype(jnp.float32)[None, :, None]
+    h_idx = cell_hw[:, 0].astype(jnp.float32)[None, :, None, None]
+    w_idx = cell_hw[:, 1].astype(jnp.float32)[None, :, None, None]
     yt = (cell_px[0] / img_h) * (cell_y + h_idx)
     xt = (cell_px[1] / img_w) * (cell_x + w_idx)
-    z_where = jnp.concatenate([xt, yt, xs, ys], axis=-1)
+    z_where = jnp.concatenate([xt, yt, xs, ys], axis=-1)   # (B, K, S, 4)
 
     # --- z_what (reference models.py:82-85, 383-391) ---
-    glimpses = crop_glimpses(image, z_where, cfg.object_shape, dtype)
-    b, k = glimpses.shape[:2]
+    glimpses = crop_glimpses(image, z_where.reshape(b, k * s, 4),
+                             cfg.object_shape, dtype)      # (B, K*S, C, oh, ow)
     if cfg.object_codec == "conv":
         from spair_pytorch_tpu.ops.convcodec import apply_conv_encoder
         attr_latent = apply_conv_encoder(params["object_encoder"], glimpses,
                                          dtype=dtype)
     else:
-        flat = glimpses.reshape(b, k, -1)
+        flat = glimpses.reshape(b, k * s, -1)
         attr_latent = apply_mlp1(params["object_encoder"], flat, dtype)
-    attr_mean, attr_std = latent_to_mean_std(attr_latent)
-    attr = attr_mean + attr_std * noise["attr"]
+    attr_mean, attr_std = latent_to_mean_std(
+        attr_latent.reshape(b, k, s, -1))                  # (B, K, S, A)
+    attr = attr_mean + attr_std * per_slot(noise["attr"])
 
     # --- z_depth (reference models.py:87-97) ---
-    z_in = jnp.concatenate([feat_cells, context, passthru, box, attr], axis=-1)
+    # feat / whole-cell context / box-net passthrough are shared across a
+    # cell's slots; box and attr are per slot. The z/obj nets are applied
+    # per slot with SHARED weights (batched over (B, K, S, .)).
+    def shared(t):  # (B, K, D) -> (B, K, S, D)
+        return jnp.broadcast_to(t[:, :, None], (b, k, s, t.shape[-1]))
+
+    z_in = jnp.concatenate([shared(feat_cells), shared(context),
+                            shared(passthru), box, attr], axis=-1)
     depth_latent, passthru2 = apply_mlp(params["z_net"], z_in, dtype)
     depth_mean, depth_std = latent_to_mean_std(depth_latent)
     depth_mean = freeze_learning(depth_mean, tw)
     depth_std = freeze_learning(depth_std, tw)
-    depth_logits = depth_mean + depth_std * noise["depth"]
+    depth_logits = depth_mean + depth_std * per_slot(noise["depth"])
     depth = 4.0 * clamped_sigmoid(depth_logits)
 
     # --- z_pres (reference models.py:100-102, 393-411) ---
-    obj_in = jnp.concatenate([feat_cells, context, passthru2, box, attr,
-                              depth], axis=-1)
+    obj_in = jnp.concatenate([shared(feat_cells), shared(context),
+                              passthru2, box, attr, depth], axis=-1)
     pres_logit = apply_mlp1(params["obj_net"], obj_in, dtype)
     pres_logit = freeze_learning(pres_logit, tw)
     log_odds = jnp.clip(pres_logit, -10.0, 10.0)
-    pre_sigmoid = log_odds + noise["pres_noise"]
+    pre_sigmoid = log_odds + per_slot(noise["pres_noise"])
     pres_prob = jax.nn.sigmoid(pre_sigmoid)
     pres = pres_prob  # relaxed sample == prob; no rounding (SURVEY quirk #4)
 
-    ctx_vec = jnp.concatenate([box, attr, depth, pres], axis=-1)
+    ctx_vec = fold(jnp.concatenate([box, attr, depth, pres], axis=-1))
 
     cy_m, cx_m, h_m, w_m = jnp.split(mean, 4, axis=-1)
     cy_s, cx_s, h_s, w_s = jnp.split(std, 4, axis=-1)
     posterior = {
-        "cy_logit": (cy_m, cy_s),
-        "cx_logit": (cx_m, cx_s),
-        "height_logit": (h_m, h_s),
-        "width_logit": (w_m, w_s),
-        "attr": (attr_mean, attr_std),
-        "depth_logit": (depth_mean, depth_std),
+        "cy_logit": (fold(cy_m), fold(cy_s)),
+        "cx_logit": (fold(cx_m), fold(cx_s)),
+        "height_logit": (fold(h_m), fold(h_s)),
+        "width_logit": (fold(w_m), fold(w_s)),
+        "attr": (fold(attr_mean), fold(attr_std)),
+        "depth_logit": (fold(depth_mean), fold(depth_std)),
     }
     return {
-        "z_where": z_where,
-        "z_attr": attr,
-        "z_depth": depth,
-        "z_pres": pres,
-        "z_pres_prob": pres_prob,
+        "z_where": fold(z_where),
+        "z_attr": fold(attr),
+        "z_depth": fold(depth),
+        "z_pres": fold(pres),
+        "z_pres_prob": fold(pres_prob),
         "posterior": posterior,
         "context_vec": ctx_vec,
     }

@@ -165,7 +165,11 @@ def infer_latents(params, cfg: SpairConfig, x, step, rng, noise=None):
                                tw, dtype, b, gh, gw)
 
     def grid(t):
-        return t.reshape(b, gh, gw, t.shape[-1])
+        # slot-major unfold into the virtual (gh, gw*S) grid: every
+        # downstream consumer (render, KLs, metrics, detector, viz) is
+        # object-count-driven and sees S*N objects without change
+        slots = cfg.n_object_slots
+        return t.reshape(b, gh, gw * slots, t.shape[-1] // slots)
 
     return {
         "z_where": grid(flat["z_where"]),

@@ -479,6 +479,12 @@ def main(argv=None):
                         "cluttered scenes the same pull is hypothesized "
                         "to drive the extreme-overlap merge undercount "
                         "-- see benchmarks/RESULTS.md residual anatomy)")
+    p.add_argument("--slots", type=int, default=None,
+                   help="objects inferred per grid cell "
+                        "(cfg.n_object_slots; 1 = reference parity). "
+                        "Model-level lever for the extreme-overlap merge "
+                        "failure: two digits whose centers share a cell "
+                        "can only ever produce one detection at slots=1")
     p.add_argument("--box-prior", default="reference",
                    choices=["reference", "free"],
                    help="'reference': the reference's N(7.0,0.5) h/w-logit "
@@ -502,6 +508,8 @@ def main(argv=None):
         overrides["render_topk"] = args.render_topk
     if args.pres_entropy is not None:
         overrides["pres_entropy_weight"] = args.pres_entropy
+    if args.slots is not None:
+        overrides["n_object_slots"] = args.slots
     if args.box_prior == "free":
         from spair_pytorch_tpu.config import free_box_priors
         overrides["priors"] = free_box_priors()

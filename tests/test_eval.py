@@ -7,6 +7,10 @@ from spair_pytorch_tpu.data import DataConfig, OnDeviceScatteredDigits
 from spair_pytorch_tpu.eval import evaluate
 from spair_pytorch_tpu.parallel import create_train_state
 
+import pytest
+
+pytestmark = pytest.mark.slow  # E2E train+eval loops
+
 
 def test_evaluate_fresh_model():
     cfg = tiny_config(inference_mode="independent", batch_size=4)

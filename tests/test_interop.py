@@ -9,6 +9,8 @@ from spair_pytorch_tpu.models import init_params
 from spair_pytorch_tpu.utils.interop import (from_torch_state_dict,
                                              to_torch_state_dict)
 
+pytestmark = pytest.mark.slow  # torch cross-loading round-trips
+
 
 class TestRoundtrip:
     def test_export_import_identity(self):

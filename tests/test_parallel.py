@@ -12,6 +12,8 @@ from spair_pytorch_tpu.parallel import (create_train_state, make_mesh,
                                         make_train_step, replicate,
                                         shard_batch)
 
+pytestmark = pytest.mark.slow  # 8-device mesh + multiprocess jax.distributed
+
 
 @pytest.fixture(scope="module")
 def eight_devices():

@@ -28,6 +28,10 @@ torch = pytest.importorskip("torch")
 from spair_pytorch_tpu.config import SpairConfig
 from spair_pytorch_tpu.models import forward, geometry, init_params, sample_noise
 
+import pytest
+
+pytestmark = pytest.mark.slow  # drives the actual torch reference E2E
+
 REF = "/root/reference"
 
 
