@@ -24,10 +24,13 @@ def main():
     p.add_argument("--k", type=int, default=25)
     p.add_argument("--rounds", type=int, default=4)
     p.add_argument("--arms", default="dots,full",
-                   help="comma list from {dots, full, off, uN}: off = "
-                        "scan_remat=False (store residuals); uN = "
-                        "remat=full with scan_unroll=N (amortize "
-                        "while-loop overhead across N bodies)")
+                   help="comma list from {dots, full, names, off, uN, "
+                        "nopack}: off = scan_remat=False (store "
+                        "residuals); uN = remat=full with scan_unroll=N "
+                        "(amortize while-loop overhead across N bodies); "
+                        "names = save-only-tagged-activations policy; "
+                        "nopack = remat=full with the packed multi-head "
+                        "GEMM disabled (pre-round-4 per-head matmuls)")
     args = p.parse_args()
 
     from spair_pytorch_tpu.config import paper_config
@@ -37,10 +40,14 @@ def main():
     bank = jnp.asarray(glyph_bank((14, 14)))
     k = args.k
     arms = {}
+    from spair_pytorch_tpu.ops import mlp as mlp_mod
     for name in args.arms.split(","):
+        over = dict()
         if name == "off":
             over = dict(scan_remat=False)
-        elif name.startswith("u"):
+        elif name == "nopack":
+            pass  # toggled at trace time below
+        elif name.startswith("u") and name[1:].isdigit():
             over = dict(scan_unroll=int(name[1:]))
         else:
             over = dict(scan_remat_policy=name)
@@ -48,10 +55,15 @@ def main():
                            inference_mode="wavefront",
                            count_prior_parallel=True, **over)
         dcfg = DataConfig(image_hw=cfg.image_shape[1:], max_objects=6)
-        step = make_train_step(cfg, datagen=(dcfg, bank), steps_per_call=k)
-        state = create_train_state(cfg)
-        state, m = step(state)  # compile
-        jax.device_get(m["losses/total"][-1])
+        mlp_mod.PACKED_HEADS = name != "nopack"
+        try:
+            step = make_train_step(cfg, datagen=(dcfg, bank),
+                                   steps_per_call=k)
+            state = create_train_state(cfg)
+            state, m = step(state)  # compile
+            jax.device_get(m["losses/total"][-1])
+        finally:
+            mlp_mod.PACKED_HEADS = True
         arms[name] = (step, state)
 
     def delta(name):

@@ -166,13 +166,18 @@ class SpairConfig:
     scan_remat: bool = True
     # Remat policy for the scan body: 'full' (default) replays
     # everything; 'dots' saves matmul outputs and replays only
-    # elementwise ops (jax.checkpoint_policies.checkpoint_dots).
-    # Identical math either way. A round-3 perf_matrix run measured
-    # 'dots' at 5.0 ms/step vs 'full' 8.5 — but the interleaved
-    # discriminator (benchmarks/remat_ab.py, both arms alternating in
-    # one process) showed dots 8.95 vs full 8.57: the 5.0 was a fast
-    # tunnel window, and 'dots' is actually ~4% SLOWER at b32. Kept as
-    # a knob; measure with remat_ab.py before switching.
+    # elementwise ops (jax.checkpoint_policies.checkpoint_dots);
+    # 'names' saves ONLY the tagged small activations (apply_mlp dense
+    # outputs + cropped glimpses) and recomputes the rest — in
+    # particular the bulky STN interpolation weights/intermediates
+    # whose stacked-residual traffic is what makes both 'dots' and
+    # remat=False lose (RESULTS.md round-3 remat A/B, round-4 'off'
+    # arm). Identical math in every case. A round-3 perf_matrix run
+    # measured 'dots' at 5.0 ms/step vs 'full' 8.5 — but the
+    # interleaved discriminator (benchmarks/remat_ab.py, both arms
+    # alternating in one process) showed dots 8.95 vs full 8.57: the
+    # 5.0 was a fast tunnel window, and 'dots' is actually ~4% SLOWER
+    # at b32. Measure with remat_ab.py before switching.
     scan_remat_policy: str = "full"
     # Presence-gated compositing (0 = off, reference parity). When > 0,
     # objects with relaxed z_pres below the threshold are skipped by the

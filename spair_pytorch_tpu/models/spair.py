@@ -355,6 +355,17 @@ def _scan_inference(params, cfg, geom, x, feat_flat, noise_flat, tw, dtype,
         if cfg.scan_remat_policy == "dots":
             body = jax.checkpoint(
                 body, policy=jax.checkpoint_policies.checkpoint_dots)
+        elif cfg.scan_remat_policy == "names":
+            # Save exactly the small tagged activations (every dense
+            # output in apply_mlp + the cropped glimpses, ~0.5 MB/front
+            # at b32) so the backward skips the ~14-matmul body replay,
+            # while the bulky STN interpolation weights and einsum
+            # intermediate (~3 MB/front — the traffic that made
+            # remat=False 1.6 ms SLOWER, benchmarks/RESULTS.md round-4
+            # "scan remat 'off' arm") are still rematerialized.
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.save_only_these_names(
+                    "mlp_dense", "glimpse"))
         else:
             body = jax.checkpoint(body)
     _, ys = jax.lax.scan(body, board0, xs, unroll=cfg.scan_unroll)

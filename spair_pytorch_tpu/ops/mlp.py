@@ -17,8 +17,17 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from spair_pytorch_tpu.ops.backbone import uniform_fan_in
+
+
+# Trace-time toggle for the packed multi-head GEMM below. Only the
+# interleaved A/B harness (benchmarks/remat_ab.py arm 'nopack') flips it,
+# to attribute the packing win separately from remat-policy effects;
+# value is captured at trace time like any Python constant.
+PACKED_HEADS = True
 
 
 def _init_linear(key, n_in: int, n_out: int):
@@ -45,9 +54,26 @@ def init_mlp(key, n_in: int, hidden: Sequence[int], heads: Sequence[int]):
 def apply_mlp(params, x, dtype=None):
     """x: (..., n_in) -> tuple of head outputs (..., head_dim).
 
+    Multi-head output layers run as ONE packed GEMM (head weight/bias
+    columns concatenated, output split back): each output column is the
+    same contraction either way (identical values up to backend GEMM
+    blocking, i.e. f32 reassociation noise) while the op count drops —
+    inside the 31-front wavefront
+    inference scan, where per-op fixed overhead (not FLOPs) is the
+    measured cost, this removes 2 of ~14 serial matmuls per front in the
+    forward AND their counterparts in the remat replay and gradient
+    passes. The concatenations are loop-invariant (params don't vary
+    across fronts), so XLA's while-loop LICM hoists them out of the scan.
+
     Layers carrying int8 weights (``ops/quant.quantize_params_int8``)
     dispatch to the int8 MXU path; mixing quantized and float layers in
-    one tree is allowed (serving-only feature)."""
+    one tree is allowed (serving-only feature). Quantized heads fall back
+    to the per-head path.
+
+    Dense outputs carry ``checkpoint_name`` tags ('mlp_dense') so the
+    scan's 'names' remat policy (config.scan_remat_policy) can save
+    exactly these small activations while recomputing everything else;
+    the tags are identity ops under any other policy."""
     if dtype is not None:
         x = x.astype(dtype)
 
@@ -62,8 +88,17 @@ def apply_mlp(params, x, dtype=None):
         return jnp.dot(v, w, preferred_element_type=v.dtype) + b
 
     for layer in params["trunk"]:
-        x = jax.nn.relu(dense(layer, x))
-    outs = tuple(dense(head, x) for head in params["heads"])
+        x = jax.nn.relu(checkpoint_name(dense(layer, x), "mlp_dense"))
+    heads = params["heads"]
+    if PACKED_HEADS and len(heads) > 1 and not any("w_q" in h for h in heads):
+        packed = {"w": jnp.concatenate([h["w"] for h in heads], axis=-1),
+                  "b": jnp.concatenate([h["b"] for h in heads], axis=-1)}
+        widths = [h["w"].shape[-1] for h in heads]
+        out = checkpoint_name(dense(packed, x), "mlp_dense")
+        outs = tuple(jnp.split(out, np.cumsum(widths)[:-1], axis=-1))
+    else:
+        outs = tuple(checkpoint_name(dense(head, x), "mlp_dense")
+                     for head in heads)
     if dtype is not None:
         # matmuls run in the compute dtype (bf16 on the MXU); head outputs
         # are promoted back to f32 so downstream latent math stays precise.

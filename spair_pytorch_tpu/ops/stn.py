@@ -30,6 +30,7 @@ tests/test_stn.py.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 def _source_coords_crop(t, s, out_size: int, in_size: int):
@@ -101,8 +102,12 @@ def crop_glimpses(image, boxes, object_shape, dtype=None):
         image, wy, wx = image.astype(dtype), wy.astype(dtype), wx.astype(dtype)
     # (B,N,oh,H) @ (B,C,H,W) -> (B,N,C,oh,W)
     tmp = jnp.einsum("bnyh,bchw->bncyw", wy, image)
-    # (B,N,C,oh,W) @ (B,N,ow,W) -> (B,N,C,oh,ow)
-    return jnp.einsum("bncyw,bnxw->bncyx", tmp, wx)
+    # (B,N,C,oh,ow); tagged so the inference scan's 'names' remat policy
+    # saves the small glimpse tensor while recomputing the oh*H-sized
+    # interpolation weights and the fat intermediate above (identity
+    # under every other policy)
+    return checkpoint_name(jnp.einsum("bncyw,bnxw->bncyx", tmp, wx),
+                           "glimpse")
 
 
 def paste_glimpses(glimpses, boxes, image_hw, dtype=None):

@@ -441,17 +441,18 @@ class TestRematPolicy:
         x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
         rng = jax.random.PRNGKey(2)
         grads = []
-        for policy in ("full", "dots"):
+        for policy in ("full", "dots", "names"):
             cfg = tiny_config(inference_mode="wavefront",
                               scan_remat_policy=policy)
             params = init_params(jax.random.PRNGKey(0), cfg)
             g = jax.grad(
                 lambda p: forward(p, cfg, x, 1500, rng)[0])(params)
             grads.append(g)
-        for a, b in zip(jax.tree_util.tree_leaves(grads[0]),
-                        jax.tree_util.tree_leaves(grads[1])):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=5e-4, atol=1e-4)
+        for other in grads[1:]:
+            for a, b in zip(jax.tree_util.tree_leaves(grads[0]),
+                            jax.tree_util.tree_leaves(other)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=5e-4, atol=1e-4)
 
 
 class TestPresEntropy:

@@ -190,3 +190,35 @@ class TestMLP:
         t = t @ torch.tensor(np.asarray(head["w"])) + torch.tensor(
             np.asarray(head["b"]))
         np.testing.assert_allclose(ours, t.numpy(), atol=1e-5)
+
+    def test_packed_heads_equal(self):
+        """The packed multi-head GEMM (one matmul over concatenated head
+        columns) computes the same contraction per output column as the
+        per-head matmuls; only backend GEMM blocking (shape-dependent
+        summation order) may differ, so fwd values must agree to f32
+        reassociation noise and grads likewise. Guards the round-4
+        scan-op-count optimization against numeric drift."""
+        from spair_pytorch_tpu.ops import mlp as mlp_mod
+        params = init_mlp(jax.random.PRNGKey(7), 24, (32, 32), (8, 16, 1))
+        x = jax.random.normal(jax.random.PRNGKey(8), (6, 24))
+
+        def loss(p, packed):
+            old = mlp_mod.PACKED_HEADS
+            mlp_mod.PACKED_HEADS = packed
+            try:
+                outs = apply_mlp(p, x)
+            finally:
+                mlp_mod.PACKED_HEADS = old
+            return outs, sum(jnp.sum(o**2) for o in outs)
+
+        outs_p, _ = loss(params, True)
+        outs_u, _ = loss(params, False)
+        for a, b in zip(outs_p, outs_u):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        gp = jax.grad(lambda p: loss(p, True)[1])(params)
+        gu = jax.grad(lambda p: loss(p, False)[1])(params)
+        for a, b in zip(jax.tree_util.tree_leaves(gp),
+                        jax.tree_util.tree_leaves(gu)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
