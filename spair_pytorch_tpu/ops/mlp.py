@@ -57,13 +57,14 @@ def apply_mlp(params, x, dtype=None):
     Multi-head output layers run as ONE packed GEMM (head weight/bias
     columns concatenated, output split back): each output column is the
     same contraction either way (identical values up to backend GEMM
-    blocking, i.e. f32 reassociation noise) while the op count drops —
-    inside the 31-front wavefront
-    inference scan, where per-op fixed overhead (not FLOPs) is the
-    measured cost, this removes 2 of ~14 serial matmuls per front in the
-    forward AND their counterparts in the remat replay and gradient
-    passes. The concatenations are loop-invariant (params don't vary
-    across fronts), so XLA's while-loop LICM hoists them out of the scan.
+    blocking, i.e. f32 reassociation noise) while the op count drops.
+    The concatenations are loop-invariant (params don't vary across
+    fronts), so XLA's while-loop LICM hoists them out of the scan.
+    MEASURED EFFECT: none — the interleaved A/B (benchmarks/RESULTS.md
+    "wavefront-scan levers", remat_ab.py arm 'nopack') reads packed at
+    8.47-8.64 ms/step vs per-head 8.40-8.48 at b32 wavefront; XLA's
+    fusion already hides the tiny per-head matmuls, so this is a
+    neutral op-count simplification, not a perf lever.
 
     Layers carrying int8 weights (``ops/quant.quantize_params_int8``)
     dispatch to the int8 MXU path; mixing quantized and float layers in
