@@ -243,6 +243,20 @@ class SpairConfig:
     # to S*HW slots in raster order (cell-major, slot-minor).
     n_object_slots: int = 1
 
+    # Inter-slot presence coupling (only meaningful for n_object_slots > 1).
+    # 'none' = independent slots. The measured failure of independent S=2
+    # (RESULTS.md round 4 "n_object_slots=2") is mixture collapse: the
+    # slot-to-digit assignment is permutation-symmetric, one slot's
+    # presence dies (slot share 0.5%/99.5%) and its KL pressure degrades
+    # calibration. 'stick' removes the symmetry with an ordered
+    # stick-breaking construction: slot k's effective presence is
+    # prod_{j<=k} sigmoid(logit_j) (a later slot can only fire if every
+    # earlier slot fires), plus a constant -2 logit offset per later slot
+    # so secondaries start off. The coupled probabilities are still valid
+    # per-virtual-cell marginals for the count prior; S = 1 is unaffected
+    # (cumprod over a singleton axis, offset 0 for slot 0).
+    slot_coupling: str = "none"
+
     # --- data/scene ---
     # object count range per generated scene (bbox slots); the cluttered
     # preset (BASELINE config 4) uses 9..12

@@ -248,9 +248,25 @@ def cell_step(params, cfg: SpairConfig, geom, image, feat_cells, context,
                               passthru2, box, attr, depth], axis=-1)
     pres_logit = apply_mlp1(params["obj_net"], obj_in, dtype)
     pres_logit = freeze_learning(pres_logit, tw)
+    if s > 1 and cfg.slot_coupling == "stick":
+        # ordered stick-breaking: bias later slots off at init (constant,
+        # no extra params — the clip range +-10 leaves room to learn past
+        # it), then couple below via cumprod. See config.slot_coupling.
+        # pres_logit is (B, K, S, 1) here (obj_net applied per slot).
+        offset = (-2.0 * jnp.arange(s, dtype=pres_logit.dtype)
+                  )[None, None, :, None]
+        pres_logit = pres_logit + offset
     log_odds = jnp.clip(pres_logit, -10.0, 10.0)
     pre_sigmoid = log_odds + per_slot(noise["pres_noise"])
     pres_prob = jax.nn.sigmoid(pre_sigmoid)
+    if s > 1 and cfg.slot_coupling == "stick":
+        # slot k's effective presence = prod_{j<=k} sigmoid(logit_j):
+        # a later slot can only fire if every earlier slot fires, which
+        # destroys the slot-permutation symmetry that collapsed the
+        # independent-slots run (RESULTS.md round 4). Marginals stay in
+        # [0,1] so the count prior and every downstream consumer of the
+        # virtual grid are unchanged.
+        pres_prob = jnp.cumprod(pres_prob, axis=2)
     pres = pres_prob  # relaxed sample == prob; no rounding (SURVEY quirk #4)
 
     ctx_vec = fold(jnp.concatenate([box, attr, depth, pres], axis=-1))

@@ -485,6 +485,13 @@ def main(argv=None):
                         "Model-level lever for the extreme-overlap merge "
                         "failure: two digits whose centers share a cell "
                         "can only ever produce one detection at slots=1")
+    p.add_argument("--slot-coupling", default=None,
+                   choices=["none", "stick"],
+                   help="inter-slot presence coupling for --slots > 1: "
+                        "'stick' = ordered stick-breaking (slot k fires "
+                        "only if slots <k fire; breaks the permutation "
+                        "symmetry that collapsed independent slots, "
+                        "RESULTS.md round 4)")
     p.add_argument("--box-prior", default="reference",
                    choices=["reference", "free"],
                    help="'reference': the reference's N(7.0,0.5) h/w-logit "
@@ -510,6 +517,8 @@ def main(argv=None):
         overrides["pres_entropy_weight"] = args.pres_entropy
     if args.slots is not None:
         overrides["n_object_slots"] = args.slots
+    if args.slot_coupling is not None:
+        overrides["slot_coupling"] = args.slot_coupling
     if args.box_prior == "free":
         from spair_pytorch_tpu.config import free_box_priors
         overrides["priors"] = free_box_priors()

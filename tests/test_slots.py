@@ -102,3 +102,57 @@ def test_slots2_train_step_runs():
                            (cfg.batch_size,) + cfg.image_shape)
     state, scalars = step(state, x)
     assert np.isfinite(float(jax.device_get(scalars["losses/total"])))
+
+
+def test_stick_coupling_monotone_and_bounded():
+    """slot_coupling='stick': effective presence is non-increasing across
+    a cell's slot axis (slot k fires only if slots <k fire) and stays a
+    valid probability. Counter to the measured independent-S=2 collapse
+    (RESULTS.md round 4)."""
+    cfg = tiny_config(inference_mode="independent", n_object_slots=3,
+                      slot_coupling="stick")
+    _, (gh, gw), _ = geometry(cfg)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (cfg.batch_size,) + cfg.image_shape)
+    _, aux = forward(params, cfg, x, 1500, jax.random.PRNGKey(2))
+    pres = np.asarray(aux["z_pres"])          # (B, 1, gh, gw*S)
+    pres = pres.reshape(cfg.batch_size, gh, gw, 3)  # slot-minor
+    assert np.all(pres >= 0) and np.all(pres <= 1)
+    assert np.all(pres[..., 1] <= pres[..., 0] + 1e-6)
+    assert np.all(pres[..., 2] <= pres[..., 1] + 1e-6)
+
+
+def test_stick_coupling_none_is_identity():
+    """slot_coupling is a no-op at S=1 (any value) and 'none' reproduces
+    the original S=2 forward bit-for-bit."""
+    cfg1a = tiny_config()
+    cfg1b = tiny_config(slot_coupling="stick")
+    params = init_params(jax.random.PRNGKey(0), cfg1a)
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (cfg1a.batch_size,) + cfg1a.image_shape)
+    rng = jax.random.PRNGKey(2)
+    loss_a, _ = forward(params, cfg1a, x, 1500, rng)
+    loss_b, _ = forward(params, cfg1b, x, 1500, rng)
+    assert float(loss_a) == float(loss_b)
+
+    cfg2a = tiny_config(n_object_slots=2)
+    cfg2b = tiny_config(n_object_slots=2, slot_coupling="none")
+    params2 = init_params(jax.random.PRNGKey(0), cfg2a)
+    loss_c, _ = forward(params2, cfg2a, x, 1500, rng)
+    loss_d, _ = forward(params2, cfg2b, x, 1500, rng)
+    assert float(loss_c) == float(loss_d)
+
+
+def test_stick_coupling_grads_finite():
+    """Training path: finite loss/grads through the cumprod coupling."""
+    cfg = tiny_config(inference_mode="wavefront", n_object_slots=2,
+                      slot_coupling="stick", render_mode="ordered")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (cfg.batch_size,) + cfg.image_shape)
+    loss, g = jax.value_and_grad(
+        lambda p: forward(p, cfg, x, 1500, jax.random.PRNGKey(2))[0]
+    )(params)
+    assert np.isfinite(float(loss))
+    assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
