@@ -154,7 +154,7 @@ def main():
                    help="config preset (paper128 = the headline; cluttered/"
                         "cluttered_fine sweeps use their own scene density)")
     p.add_argument("--mode", default="wavefront",
-                   choices=["independent", "raster", "wavefront"])
+                   choices=["independent", "raster", "wavefront", "rowscan"])
     p.add_argument("--render", default=None,
                    choices=[None, "xla", "pallas", "pallas_v3"])
     p.add_argument("--render-mode", default=None,

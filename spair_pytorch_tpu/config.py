@@ -131,6 +131,10 @@ class SpairConfig:
     #                dataflow, models.py:68).
     # 'wavefront':   scan over d=2h+w wavefronts; identical math, ~4x fewer
     #                sequential steps (see models/spair.py).
+    # 'rowscan':     RELAXED context (non-reference): gh row-fronts of
+    #                gw-wide lanes; rows above provide real context, the
+    #                same-row west neighbor reads the edge element. Changes
+    #                the function — opt-in, quality A/B in RESULTS.md.
     inference_mode: str = "wavefront"
     # bfloat16 matmuls on the MXU for the hot paths; params and loss stay f32.
     compute_dtype: str = "float32"

@@ -222,7 +222,7 @@ def main(argv=None):
     p.add_argument("--logdir", required=True)
     p.add_argument("--preset", default="paper128", choices=sorted(PRESETS))
     p.add_argument("--mode", default=None,
-                   choices=[None, "independent", "raster", "wavefront"],
+                   choices=[None, "independent", "raster", "wavefront", "rowscan"],
                    help="override inference mode (match how it was trained)")
     p.add_argument("--batches", type=int, default=32,
                    help="batches to pool for dataset-level AP@0.5 (32 x b32 = 1,024 scenes)")

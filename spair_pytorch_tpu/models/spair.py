@@ -89,6 +89,17 @@ def inference_schedule(mode: str, gh: int, gw: int, n_lookback: int = 1):
             for w in range(gw):
                 by_d.setdefault((n_lookback + 1) * h + w, []).append((h, w))
         fronts = [by_d[d] for d in sorted(by_d)]
+    elif mode == "rowscan":
+        # RELAXED lateral context (opt-in, non-reference): whole rows as
+        # fronts — gh scan steps of gw-wide lanes instead of wavefront's
+        # (n+1)*gh + gw - (n+1) steps. Same-row neighbors (dh=0, dw<0) are
+        # computed in the SAME step, so their halo-board slots still hold
+        # the edge element when the row reads: the west context is
+        # structurally replaced by "out of grid". Rows above are real.
+        # This CHANGES the function (unlike raster<->wavefront, which are
+        # exact reorderings) — ship only with a quality A/B; gw=1 grids
+        # degenerate to exact raster (no same-row neighbors exist).
+        fronts = [[(h, w) for w in range(gw)] for h in range(gh)]
     else:
         raise ValueError(f"unknown scan mode {mode!r}")
 

@@ -30,7 +30,7 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--out", default="/tmp/spair_trace")
     p.add_argument("--mode", default=None,
-                   choices=[None, "independent", "raster", "wavefront"])
+                   choices=[None, "independent", "raster", "wavefront", "rowscan"])
     args = p.parse_args(argv)
 
     overrides = {"inference_mode": args.mode} if args.mode else {}

@@ -432,7 +432,7 @@ def main(argv=None):
     p.add_argument("--grad-clip", type=float, default=None,
                    help="global-norm gradient clipping (0/unset = off)")
     p.add_argument("--mode", default=None,
-                   choices=["independent", "raster", "wavefront"])
+                   choices=["independent", "raster", "wavefront", "rowscan"])
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--eval-every", type=int, default=0,
                    help="evaluate on a fixed held-out scene set every N "

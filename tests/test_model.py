@@ -530,3 +530,57 @@ def test_fine_grid_topology_forward():
                                    jax.random.PRNGKey(2))[0])(params)
     assert all(np.all(np.isfinite(l))
                for l in jax.tree_util.tree_leaves(g))
+
+
+class TestRowscan:
+    """'rowscan' relaxed-context mode: gh row-fronts of gw-wide lanes.
+    NON-reference semantics (the same-row west neighbor reads the edge
+    element); these tests pin exactly what is and is not preserved."""
+
+    def test_shapes_grads_finite(self):
+        cfg = tiny_config(inference_mode="rowscan")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
+        loss, aux = forward(params, cfg, x, 1500, jax.random.PRNGKey(2))
+        _, (gh, gw), _ = geometry(cfg)
+        assert aux["z_where"].shape == (2, 4, gh, gw)
+        assert np.isfinite(float(loss))
+        g = jax.grad(lambda p: forward(p, cfg, x, 1500,
+                                       jax.random.PRNGKey(2))[0])(params)
+        assert all(np.all(np.isfinite(l))
+                   for l in jax.tree_util.tree_leaves(g))
+
+    def test_step_count_is_rows(self):
+        sched = inference_schedule("rowscan", 7, 5)
+        assert sched["steps"] == 7 and sched["lanes"] == 5
+        assert sched["mask"].all()
+
+    def test_row0_matches_independent_rest_differs(self):
+        """Row 0 sees only edge context in both modes (bit-comparable);
+        later rows must DIFFER from independent (real north context flows)
+        and from raster (west context relaxed)."""
+        cfg_s = tiny_config(inference_mode="rowscan")
+        cfg_i = tiny_config(inference_mode="independent")
+        cfg_r = tiny_config(inference_mode="raster")
+        params = init_params(jax.random.PRNGKey(0), cfg_s)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
+        rng = jax.random.PRNGKey(2)
+        _, aux_s = forward(params, cfg_s, x, 1500, rng)
+        _, aux_i = forward(params, cfg_i, x, 1500, rng)
+        _, aux_r = forward(params, cfg_r, x, 1500, rng)
+        zs = np.asarray(aux_s["z_where"])  # (B, 4, gh, gw)
+        zi = np.asarray(aux_i["z_where"])
+        zr = np.asarray(aux_r["z_where"])
+        np.testing.assert_allclose(zs[:, :, 0], zi[:, :, 0],
+                                   rtol=1e-5, atol=1e-6)
+        assert np.abs(zs[:, :, 1:] - zi[:, :, 1:]).max() > 1e-4
+        assert np.abs(zs[:, :, 1:] - zr[:, :, 1:]).max() > 1e-4
+
+    def test_train_step_runs(self):
+        cfg = tiny_config(inference_mode="rowscan")
+        state = create_train_state(cfg)
+        step = make_train_step(cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1),
+                               (cfg.batch_size,) + cfg.image_shape)
+        state, scalars = step(state, x)
+        assert np.isfinite(float(jax.device_get(scalars["losses/total"])))
