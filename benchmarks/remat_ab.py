@@ -40,13 +40,12 @@ def main():
     bank = jnp.asarray(glyph_bank((14, 14)))
     k = args.k
     arms = {}
-    from spair_pytorch_tpu.ops import mlp as mlp_mod
     for name in args.arms.split(","):
         over = dict()
         if name == "off":
             over = dict(scan_remat=False)
         elif name == "nopack":
-            pass  # toggled at trace time below
+            over = dict(packed_heads=False)
         elif name.startswith("u") and name[1:].isdigit():
             over = dict(scan_unroll=int(name[1:]))
         else:
@@ -55,15 +54,11 @@ def main():
                            inference_mode="wavefront",
                            count_prior_parallel=True, **over)
         dcfg = DataConfig(image_hw=cfg.image_shape[1:], max_objects=6)
-        mlp_mod.PACKED_HEADS = name != "nopack"
-        try:
-            step = make_train_step(cfg, datagen=(dcfg, bank),
-                                   steps_per_call=k)
-            state = create_train_state(cfg)
-            state, m = step(state)  # compile
-            jax.device_get(m["losses/total"][-1])
-        finally:
-            mlp_mod.PACKED_HEADS = True
+        step = make_train_step(cfg, datagen=(dcfg, bank),
+                               steps_per_call=k)
+        state = create_train_state(cfg)
+        state, m = step(state)  # compile
+        jax.device_get(m["losses/total"][-1])
         arms[name] = (step, state)
 
     def delta(name):

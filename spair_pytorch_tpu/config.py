@@ -261,6 +261,12 @@ class SpairConfig:
     # (cumprod over a singleton axis, offset 0 for slot 0).
     slot_coupling: str = "none"
 
+    # Pack multi-head MLP output layers into one GEMM (ops/mlp.apply_mlp).
+    # Measured perf-neutral (RESULTS.md "wavefront-scan levers", arm
+    # 'nopack'); kept as a jit-static field so the A/B harness can flip it
+    # without a module global invisible to jit cache keys.
+    packed_heads: bool = True
+
     # --- data/scene ---
     # object count range per generated scene (bbox slots); the cluttered
     # preset (BASELINE config 4) uses 9..12
@@ -275,6 +281,16 @@ class SpairConfig:
     # only engages during blow-ups. None = off (reference parity).
     grad_clip_norm: float = 0.0  # 0 = disabled
     seed: int = 3  # reference train.py:39
+
+    def __post_init__(self):
+        # Fail loudly on typo'd enum-like fields (hand-edited config.json or
+        # programmatic construction would otherwise silently train with
+        # independent slots; inference_mode already raises at
+        # inference_schedule).
+        if self.slot_coupling not in ("none", "stick"):
+            raise ValueError(
+                f"unknown slot_coupling {self.slot_coupling!r}; "
+                "expected 'none' or 'stick'")
 
     @property
     def n_channels(self) -> int:

@@ -188,7 +188,8 @@ def cell_step(params, cfg: SpairConfig, geom, image, feat_cells, context,
 
     # --- z_where (reference models.py:76-79, 322-381) ---
     box_in = jnp.concatenate([feat_cells, context], axis=-1)
-    box_latent, passthru = apply_mlp(params["box_net"], box_in, dtype)
+    box_latent, passthru = apply_mlp(params["box_net"], box_in, dtype,
+                                     packed=cfg.packed_heads)
     mean, std = latent_to_mean_std(per_slot(box_latent))   # (B, K, S, 4)
     mean, std = freeze_learning(mean, tw), freeze_learning(std, tw)
     box_logits = mean + std * per_slot(noise["box"])  # order (cy, cx, h, w)
@@ -236,7 +237,8 @@ def cell_step(params, cfg: SpairConfig, geom, image, feat_cells, context,
 
     z_in = jnp.concatenate([shared(feat_cells), shared(context),
                             shared(passthru), box, attr], axis=-1)
-    depth_latent, passthru2 = apply_mlp(params["z_net"], z_in, dtype)
+    depth_latent, passthru2 = apply_mlp(params["z_net"], z_in, dtype,
+                                        packed=cfg.packed_heads)
     depth_mean, depth_std = latent_to_mean_std(depth_latent)
     depth_mean = freeze_learning(depth_mean, tw)
     depth_std = freeze_learning(depth_std, tw)

@@ -2,7 +2,7 @@
 
 TPU-native counterpart of reference ``SPAIR.forward`` + ``_build_loss``
 (spair/models.py:35-131,544-563). The reference's 121-iteration Python loop
-over grid cells becomes one of three compiled inference orders sharing the
+over grid cells becomes one of four compiled inference orders sharing the
 same ``cell_step`` (models/latents.py):
 
   * ``independent``: no lateral context (every cell sees the learnable edge
@@ -19,6 +19,11 @@ same ``cell_step`` (models/latents.py):
     cells each instead of 121 sequential steps, computing the exact same
     function (noise is pre-sampled per cell, so raster and wavefront agree
     to float-reassociation; asserted in tests/test_model.py).
+  * ``rowscan`` (opt-in, RELAXED — not a reference-exact reordering):
+    whole rows as fronts (gh scan steps of gw-wide lanes); same-row west
+    context is structurally replaced by the edge element, which CHANGES
+    the function — see inference_schedule and docs/MIGRATION.md (quality
+    A/B required before adoption).
 
 Lateral context is held in a zero-copy "halo" buffer: a flat
 (grid_h+2n)x(grid_w+2n)+1 board (n = n_lookback) initialized with the edge

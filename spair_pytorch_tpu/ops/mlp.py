@@ -23,13 +23,6 @@ from jax.ad_checkpoint import checkpoint_name
 from spair_pytorch_tpu.ops.backbone import uniform_fan_in
 
 
-# Trace-time toggle for the packed multi-head GEMM below. Only the
-# interleaved A/B harness (benchmarks/remat_ab.py arm 'nopack') flips it,
-# to attribute the packing win separately from remat-policy effects;
-# value is captured at trace time like any Python constant.
-PACKED_HEADS = True
-
-
 def _init_linear(key, n_in: int, n_out: int):
     wk, bk = jax.random.split(key)
     return {"w": uniform_fan_in(wk, (n_in, n_out), n_in),
@@ -51,7 +44,7 @@ def init_mlp(key, n_in: int, hidden: Sequence[int], heads: Sequence[int]):
     return {"trunk": layers, "heads": head_params}
 
 
-def apply_mlp(params, x, dtype=None):
+def apply_mlp(params, x, dtype=None, packed=True):
     """x: (..., n_in) -> tuple of head outputs (..., head_dim).
 
     Multi-head output layers run as ONE packed GEMM (head weight/bias
@@ -65,6 +58,11 @@ def apply_mlp(params, x, dtype=None):
     8.47-8.64 ms/step vs per-head 8.40-8.48 at b32 wavefront; XLA's
     fusion already hides the tiny per-head matmuls, so this is a
     neutral op-count simplification, not a perf lever.
+
+    ``packed`` is an explicit, trace-time argument (model call sites pass
+    ``cfg.packed_heads``, a jit-static frozen-dataclass field) so the A/B
+    toggle participates in jit cache keys instead of living in a module
+    global that a compiled function would silently ignore.
 
     Layers carrying int8 weights (``ops/quant.quantize_params_int8``)
     dispatch to the int8 MXU path; mixing quantized and float layers in
@@ -91,7 +89,7 @@ def apply_mlp(params, x, dtype=None):
     for layer in params["trunk"]:
         x = jax.nn.relu(checkpoint_name(dense(layer, x), "mlp_dense"))
     heads = params["heads"]
-    if PACKED_HEADS and len(heads) > 1 and not any("w_q" in h for h in heads):
+    if packed and len(heads) > 1 and not any("w_q" in h for h in heads):
         packed = {"w": jnp.concatenate([h["w"] for h in heads], axis=-1),
                   "b": jnp.concatenate([h["b"] for h in heads], axis=-1)}
         widths = [h["w"].shape[-1] for h in heads]

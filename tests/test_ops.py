@@ -198,17 +198,11 @@ class TestMLP:
         summation order) may differ, so fwd values must agree to f32
         reassociation noise and grads likewise. Guards the round-4
         scan-op-count optimization against numeric drift."""
-        from spair_pytorch_tpu.ops import mlp as mlp_mod
         params = init_mlp(jax.random.PRNGKey(7), 24, (32, 32), (8, 16, 1))
         x = jax.random.normal(jax.random.PRNGKey(8), (6, 24))
 
         def loss(p, packed):
-            old = mlp_mod.PACKED_HEADS
-            mlp_mod.PACKED_HEADS = packed
-            try:
-                outs = apply_mlp(p, x)
-            finally:
-                mlp_mod.PACKED_HEADS = old
+            outs = apply_mlp(p, x, packed=packed)
             return outs, sum(jnp.sum(o**2) for o in outs)
 
         outs_p, _ = loss(params, True)

@@ -156,3 +156,12 @@ def test_stick_coupling_grads_finite():
     )(params)
     assert np.isfinite(float(loss))
     assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_slot_coupling_typo_raises():
+    """Unknown slot_coupling values fail at config construction (ADVICE r4:
+    a typo'd value — e.g. 'sticky' from a hand-edited config.json — must
+    not silently train with independent slots)."""
+    import pytest
+    with pytest.raises(ValueError, match="slot_coupling"):
+        tiny_config(n_object_slots=2, slot_coupling="sticky")
