@@ -30,7 +30,15 @@ def main():
                         "(amortize while-loop overhead across N bodies); "
                         "names = save-only-tagged-activations policy; "
                         "nopack = remat=full with the packed multi-head "
-                        "GEMM disabled (pre-round-4 per-head matmuls)")
+                        "GEMM disabled (pre-round-4 per-head matmuls); "
+                        "an inference-mode name (independent/raster/"
+                        "wavefront/rowscan) selects that scan order "
+                        "(rowscan-vs-wavefront = 11 vs 31 fronts)")
+    p.add_argument("--gate", type=float, default=0.0,
+                   help="pres_gate_threshold for ALL arms (combine with "
+                        "--pretrain for steady-state sparsity)")
+    p.add_argument("--pretrain", type=int, default=0,
+                   help="untimed steps per arm before the timed rounds")
     args = p.parse_args()
 
     from spair_pytorch_tpu.config import paper_config
@@ -46,18 +54,25 @@ def main():
             over = dict(scan_remat=False)
         elif name == "nopack":
             over = dict(packed_heads=False)
+        elif name in ("independent", "raster", "wavefront", "rowscan"):
+            over = dict(inference_mode=name)
         elif name.startswith("u") and name[1:].isdigit():
             over = dict(scan_unroll=int(name[1:]))
         else:
             over = dict(scan_remat_policy=name)
-        cfg = paper_config(batch_size=args.batch, compute_dtype="bfloat16",
-                           inference_mode="wavefront",
-                           count_prior_parallel=True, **over)
+        base = dict(batch_size=args.batch, compute_dtype="bfloat16",
+                    inference_mode="wavefront", count_prior_parallel=True,
+                    pres_gate_threshold=args.gate)
+        base.update(over)
+        cfg = paper_config(**base)
         dcfg = DataConfig(image_hw=cfg.image_shape[1:], max_objects=6)
         step = make_train_step(cfg, datagen=(dcfg, bank),
                                steps_per_call=k)
         state = create_train_state(cfg)
         state, m = step(state)  # compile
+        jax.device_get(m["losses/total"][-1])
+        for _ in range(max(0, args.pretrain - k) // k):
+            state, m = step(state)
         jax.device_get(m["losses/total"][-1])
         arms[name] = (step, state)
 
