@@ -6,10 +6,12 @@ Prints ONE JSON line:
 The reference publishes no numbers (SURVEY.md section 6); the baseline
 denominator is the measured throughput of the UNMODIFIED reference PyTorch
 implementation on this host (benchmarks/reference_probe.py; recorded in
-BASELINE.md). Paper config: batch 32 per chip, 128x128 images, full training
-step (forward + backward + Adam) with on-device data generation, sequential
-lateral-context inference via the wavefront scan — the reference's
-semantics, not the easier independent mode.
+BASELINE.md). Paper config at the throughput-optimal batch: 128 per chip
+(measured knee of the gated steady-state batch sweep, RESULTS.md round 5;
+``--batch 32`` is the paper recipe / latency lane), 128x128 images, full
+training step (forward + backward + Adam) with on-device data generation,
+sequential lateral-context inference via the wavefront scan — the
+reference's semantics, not the easier independent mode.
 
 Measurement protocol (hard-won, round 2): through the axon TPU tunnel,
 ``jax.block_until_ready`` is UNRELIABLE — in some regimes it returns on
@@ -149,7 +151,13 @@ def main():
     p.add_argument("--block-sleep", type=float, default=5.0,
                    help="seconds between trials (time diversity against "
                         "tunnel latency windows)")
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=128,
+                   help="per-chip batch. DEFAULT 128 since round 5: the "
+                        "gated steady-state batch sweep (RESULTS.md) "
+                        "measured b128 throughput-optimal (8,596 img/s, "
+                        "10.2% MFU vs 6,790 / 8.1% at b32; b256 is past "
+                        "the knee). --batch 32 reproduces the paper-recipe "
+                        "latency-lane number")
     p.add_argument("--preset", default="paper128",
                    help="config preset (paper128 = the headline; cluttered/"
                         "cluttered_fine sweeps use their own scene density)")

@@ -14,6 +14,12 @@ planning.
     dets[i]["scores"]  # (k_i,)
     dets[i]["count"]   # int
 
+Measured bucket guidance (one v5e chip, f32 detector, paper128 —
+round-5 sweep in benchmarks/RESULTS.md): throughput rises monotonically
+through b512 (46k img/s/chip at 11.1 ms/call; b128 34.5k at 3.7 ms;
+b256 42.8k at 6.0 ms), latency floor is b32 at 2.35 ms/call. Pick b512
+for offline/bulk scoring, b32 for interactive latency.
+
 CLI smoke/benchmark:
     python -m spair_pytorch_tpu.serve --preset paper128 \
         --logdir runs/paper128_real100k --requests 64 --batch 8
