@@ -208,6 +208,12 @@ class SpairConfig:
     # phase). Makes ordered-mode compositing scale with live objects
     # (~1-12) instead of grid size (121/256), the same lever the Pallas
     # skip gives the reference-mode kernel.
+    # Also wired (exactly, den-floor-preserving) into the reference-mode
+    # Pallas kernel, but there it is a MEASURED NEGATIVE: the gated
+    # kernel already skips dead objects nearly for free, so compaction's
+    # gather/scatter-VJP + cond overhead make it ~2x SLOWER at b128
+    # (RESULTS.md round 5 "reference-kernel top-K compaction"). Promoted
+    # only for ordered mode (cluttered presets).
     render_topk: int = 0
     # objects per block-diagonal chunk in the v3 compositor kernel
     # (render_backend='pallas_v3'; ops/pallas/composite_v3.py)

@@ -314,9 +314,61 @@ def render(params, cfg: SpairConfig, z_attr, z_where, z_depth, z_pres,
         importance = importance * gmask
     if backend == "pallas":
         from spair_pytorch_tpu.ops.pallas.composite import composite_pallas
-        num, den = composite_pallas(color, alpha, importance, boxes, image_hw,
-                                    paste_window_rows(cfg, image_hw),
-                                    pres_gate=gate)
+        win = paste_window_rows(cfg, image_hw)
+        if cfg.render_topk > 0 and cfg.render_topk < n:
+            if gate is None:
+                raise ValueError(
+                    "render_topk requires pres_gate_threshold > 0: without "
+                    "the gate, dropped objects have small-but-nonzero alpha "
+                    "and top-K selection would change the composite")
+            # Top-K live-object compaction for the reference blend (the
+            # ordered-mode trick above, ported): the gated kernel already
+            # SKIPS dead objects, but still iterates its fori_loop over all
+            # n of them and (backward) writes their zero gradients — at
+            # b128 that is b*n = 15k mostly-dead iterations. Gathering the
+            # K highest-presence objects shrinks the loop to b*K. Exact vs
+            # the gated full-grid kernel whenever every image's live count
+            # is <= K (the selected set then contains every live object;
+            # selected-but-dead ones are still gate-skipped; non-selected
+            # objects were skipped before and get the same exactly-zero
+            # gradients via the gather's scatter-VJP; den keeps the
+            # reference's n*eps floor via den_floor_n) — up to float
+            # reassociation, since compaction reorders the num/den
+            # accumulation sums. lax.cond falls back to the full grid
+            # otherwise (the dense training-wheel phase). Parity asserted
+            # in tests/test_render_modes.py.
+            #
+            # MEASURED NEGATIVE for training throughput (RESULTS.md round 5
+            # "reference-kernel top-K compaction"): 28.6 ms/step vs the
+            # full-grid gated kernel's 14.9 at b128/K=16, and still 18.1
+            # with the cond bypassed — the gated kernel's dead-object skip
+            # is already nearly free, so the gather + scatter-add VJP adds
+            # HBM traffic with no work left to remove, and the cond itself
+            # adds ~10 ms (full-tensor operands materialized for both
+            # branches). Kept opt-in for API parity with ordered mode
+            # (where the same lever measured a 5.9x compositor WIN — that
+            # scan does real over-operator work per dead object; this
+            # kernel does not). Do not enable for perf.
+            k = cfg.render_topk
+            scores = flat(z_pres)[..., 0]                       # (B, N)
+            _, top_idx = jax.lax.top_k(scores, k)               # (B, K)
+
+            def take_k(t):
+                idx = top_idx.reshape((b, k) + (1,) * (t.ndim - 2))
+                return jnp.take_along_axis(t, idx, axis=1)
+
+            live = jnp.sum((gate > 0).astype(jnp.int32), axis=1)  # (B,)
+            num, den = jax.lax.cond(
+                jnp.max(live) <= k,
+                lambda args: composite_pallas(
+                    *map(take_k, args[:4]), image_hw, win,
+                    pres_gate=take_k(args[4]), den_floor_n=n),
+                lambda args: composite_pallas(
+                    *args[:4], image_hw, win, pres_gate=args[4]),
+                (color, alpha, importance, boxes, gate))
+        else:
+            num, den = composite_pallas(color, alpha, importance, boxes,
+                                        image_hw, win, pres_gate=gate)
     elif backend == "pallas_v3":
         # object-chunk batched kernel; sound ONLY for model-generated
         # boxes (band containment follows from the box parameterization —

@@ -78,7 +78,7 @@ def _window_start(yt, ys, ih: int, win: int, oh: int):
 
 def _fwd_kernel(*refs, n: int, c: int,
                 oh: int, ow: int, ih: int, iw: int, win: int, mm,
-                gated: bool = False):
+                gated: bool = False, den_floor_n: int = None):
     if gated:
         boxes_ref, gate_ref, g_ref, num_ref, den_ref = refs
     else:
@@ -87,8 +87,12 @@ def _fwd_kernel(*refs, n: int, c: int,
     nc = c + 2
     num_ref[...] = jnp.zeros(num_ref.shape, jnp.float32)
     # every one of the n objects contributes +1e-9 to den everywhere
-    # (reference models.py:527); fold the constant in once.
-    den_ref[...] = jnp.full(den_ref.shape, n * _EPS, jnp.float32)
+    # (reference models.py:527); fold the constant in once. When the
+    # caller compacted the object axis (top-K live selection,
+    # models/render.py), den_floor_n carries the ORIGINAL grid count so
+    # the floor matches the uncompacted composite bit-for-bit.
+    floor_n = n if den_floor_n is None else den_floor_n
+    den_ref[...] = jnp.full(den_ref.shape, floor_n * _EPS, jnp.float32)
 
     def body(o, _):
         def paste():
@@ -262,7 +266,7 @@ def _mm_dtype(color):
 
 
 def _fwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
-              pres_gate=None):
+              pres_gate=None, den_floor_n=None):
     b, n, c, oh, ow = color.shape
     ih, iw = image_hw
     win = _resolve_win(win_rows, ih)
@@ -272,7 +276,8 @@ def _fwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
     gated = pres_gate is not None
 
     kernel = functools.partial(_fwd_kernel, n=n, c=c, oh=oh, ow=ow,
-                               ih=ih, iw=iw, win=win, mm=mm, gated=gated)
+                               ih=ih, iw=iw, win=win, mm=mm, gated=gated,
+                               den_floor_n=den_floor_n)
     interpret = jax.default_backend() == "cpu"
     in_specs = [
         pl.BlockSpec((None, n, 4), lambda i: (i, 0, 0),
@@ -372,9 +377,9 @@ def _bwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
     return dcolor, dalpha, dimp, dbox.astype(boxes.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 7))
 def composite_pallas(color, alpha, importance, boxes, image_hw,
-                     win_rows=None, pres_gate=None):
+                     win_rows=None, pres_gate=None, den_floor_n=None):
     """Drop-in for composite_xla: returns (num, den), each (B, ·, H, W).
 
     ``win_rows``: static paste-window height (rows). Must be >= the widest
@@ -390,18 +395,27 @@ def composite_pallas(color, alpha, importance, boxes, image_hw,
     Gradients to gated-out objects are exactly zero (an approximation of
     the ungated objective — opt-in for training via
     cfg.pres_gate_threshold; exact for inference/eval rendering).
+
+    ``den_floor_n``: static override for the den +1e-9-per-object floor
+    count. The top-K live-object compaction (models/render.py) passes the
+    ORIGINAL grid count here so the K-object kernel reproduces the
+    full-grid den exactly (the reference floor is per grid object, not
+    per composited object).
     """
     return _fwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
-                     pres_gate)
+                     pres_gate, den_floor_n)
 
 
-def _fwd(color, alpha, importance, boxes, image_hw, win_rows, pres_gate):
+def _fwd(color, alpha, importance, boxes, image_hw, win_rows, pres_gate,
+         den_floor_n):
     out = _fwd_impl(color, alpha, importance, boxes, image_hw, win_rows,
-                    pres_gate)
+                    pres_gate, den_floor_n)
     return out, (color, alpha, importance, boxes, pres_gate)
 
 
-def _bwd(image_hw, win_rows, residuals, cotangents):
+def _bwd(image_hw, win_rows, den_floor_n, residuals, cotangents):
+    # den_floor_n only shifts the forward den by a constant; it has no
+    # gradient role.
     color, alpha, importance, boxes, pres_gate = residuals
     dnum, dden = cotangents
     grads = _bwd_impl(color, alpha, importance, boxes, image_hw, win_rows,

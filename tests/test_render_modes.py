@@ -156,3 +156,126 @@ def test_forward_with_topk_trains():
                                    jax.random.PRNGKey(2))[0])(params)
     mags = [float(jnp.abs(l).max()) for l in jax.tree_util.tree_leaves(g)]
     assert all(np.isfinite(m) for m in mags) and max(mags) > 0
+
+
+# --- top-K compaction of the REFERENCE blend's gated Pallas kernel ---
+# (models/render.py pallas branch; den floor carried via den_floor_n)
+
+
+def _ref_pallas(base, **over):
+    import dataclasses
+    return dataclasses.replace(base, render_mode="reference",
+                               render_backend="pallas", **over)
+
+
+def test_reference_topk_exact_when_sparse():
+    """Reference blend, gated Pallas kernel: top-K compaction must match
+    the full-grid gated kernel — values and gradients (up to f32
+    reassociation: compaction reorders the num/den accumulation sums)."""
+    from spair_pytorch_tpu.models.render import render
+
+    pattern = np.full(16, 0.001)
+    pattern[[2, 7, 11]] = [0.9, 0.6, 0.3]  # 3 live (> 0.01 gate)
+    base, params, zs = _topk_setup(pattern)
+    full = _ref_pallas(base)
+    topk = _ref_pallas(base, render_topk=8)
+
+    def run(cfg, z_attr, z_where):
+        return render(params, cfg, z_attr, z_where, zs[2], zs[3], (48, 48))
+
+    out_full = run(full, zs[0], zs[1])
+    out_topk = run(topk, zs[0], zs[1])
+    np.testing.assert_allclose(np.asarray(out_topk), np.asarray(out_full),
+                               rtol=1e-5, atol=1e-6)
+
+    g_full = jax.grad(lambda a, w: jnp.sum(run(full, a, w) ** 2),
+                      argnums=(0, 1))(zs[0], zs[1])
+    g_topk = jax.grad(lambda a, w: jnp.sum(run(topk, a, w) ** 2),
+                      argnums=(0, 1))(zs[0], zs[1])
+    for gf, gt in zip(g_full, g_topk):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gf),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_reference_topk_den_floor_preserved():
+    """The compacted kernel must reproduce the reference's n*eps den floor
+    (one +1e-9 per GRID object, models.py:527), not k*eps: with all
+    objects gated out, the composite is exactly 0/(n*eps) = 0 in both
+    arms, and intermediate den must match. Checked via the kernel API
+    directly to observe den."""
+    from spair_pytorch_tpu.ops.pallas.composite import composite_pallas
+
+    b, n, c, oh, ow = 1, 16, 1, 8, 8
+    k = 4
+    rng = np.random.RandomState(0)
+    color = jnp.asarray(rng.rand(b, n, c, oh, ow), jnp.float32)
+    alpha = jnp.asarray(rng.rand(b, n, 1, oh, ow), jnp.float32)
+    imp = jnp.asarray(rng.rand(b, n, 1, oh, ow), jnp.float32)
+    boxes = jnp.asarray(
+        np.stack([rng.uniform(0.3, 0.7, (b, n)), rng.uniform(0.3, 0.7, (b, n)),
+                  np.full((b, n), 0.3), np.full((b, n), 0.3)], -1),
+        jnp.float32)
+    gate = np.zeros((b, n), np.float32)
+    gate[:, [3, 9]] = 1.0  # 2 live
+    gate = jnp.asarray(gate)
+
+    num_f, den_f = composite_pallas(color, alpha, imp, boxes, (48, 48), 40,
+                                    pres_gate=gate)
+    idx = jnp.argsort(-gate, axis=1)[:, :k]                      # live first
+    take = lambda t: jnp.take_along_axis(
+        t, idx.reshape((b, k) + (1,) * (t.ndim - 2)), axis=1)
+    num_k, den_k = composite_pallas(take(color), take(alpha), take(imp),
+                                    take(boxes), (48, 48), 40,
+                                    pres_gate=take(gate), den_floor_n=n)
+    np.testing.assert_allclose(np.asarray(num_k), np.asarray(num_f),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(den_k), np.asarray(den_f),
+                               rtol=1e-6, atol=0)
+    # and WITHOUT den_floor_n the floors differ by (n-k)*eps — the exact
+    # mistake the parameter exists to prevent
+    _, den_bad = composite_pallas(take(color), take(alpha), take(imp),
+                                  take(boxes), (48, 48), 40,
+                                  pres_gate=take(gate))
+    assert float(jnp.max(jnp.abs(den_bad - den_f))) > 0
+
+
+def test_reference_topk_fallback_when_dense():
+    """All 16 live with K=8: the cond must take the full-grid branch."""
+    from spair_pytorch_tpu.models.render import render
+
+    base, params, zs = _topk_setup(np.full(16, 0.9), seed=5)
+    full = _ref_pallas(base)
+    topk = _ref_pallas(base, render_topk=8)
+    out_full = render(params, full, *zs, (48, 48))
+    out_topk = render(params, topk, *zs, (48, 48))
+    np.testing.assert_allclose(np.asarray(out_topk), np.asarray(out_full),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_reference_topk_requires_gate():
+    import dataclasses
+
+    import pytest
+
+    from spair_pytorch_tpu.models.render import render
+
+    base, params, zs = _topk_setup(np.full(16, 0.5))
+    nogate = dataclasses.replace(_ref_pallas(base), render_topk=8,
+                                 pres_gate_threshold=0.0)
+    with pytest.raises(ValueError, match="render_topk"):
+        render(params, nogate, *zs, (48, 48))
+
+
+def test_forward_with_reference_topk_trains():
+    """Full training graph (loss + grad) through the compacted kernel."""
+    cfg = tiny_config(inference_mode="wavefront", render_mode="reference",
+                      render_backend="pallas", pres_gate_threshold=0.01,
+                      render_topk=8)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 48, 48))
+    loss, aux = forward(params, cfg, x, 2000, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: forward(p, cfg, x, 2000,
+                                   jax.random.PRNGKey(2))[0])(params)
+    mags = [float(jnp.abs(l).max()) for l in jax.tree_util.tree_leaves(g)]
+    assert all(np.isfinite(m) for m in mags) and max(mags) > 0
