@@ -1,0 +1,308 @@
+"""Split-refinement: a test-time second pass on merged detections.
+
+No reference counterpart. The reference model is structurally
+one-object-per-cell (`/root/reference/spair/models.py:68`; 12 px cell
+pitch, modules.py:68-105), so two digits whose centers share a cell
+collapse into ONE detection — the measured residual failure mode on
+cluttered scenes (benchmarks/RESULTS.md: 5+-overlap stratum exact count
+accuracy ~0.58-0.62 across every trained arm, vs ~1.0 at zero overlap;
+every training-time lever measured negative: fine grid, S=2 slots,
+stick coupling — "slots closure").
+
+This module attacks the merge at INFERENCE time using the generative
+model itself as the judge, with no retraining and no new parameters:
+
+  1. take the top-M detections of the (post-NMS, calibrated) detector;
+  2. for each, propose C candidate *splits* — pairs of child boxes
+     (side-by-side along x, stacked along y, both diagonals, at two
+     separations);
+  3. score the one-object hypothesis against each two-object hypothesis
+     by reconstruction: crop each hypothesis' glimpses, push them
+     through the trained object encoder (posterior mean) and decoder,
+     composite them onto a local window around the parent box
+     (reference blend semantics), and measure squared error against the
+     actual image pixels in that window;
+  4. a split is accepted when the best two-object reconstruction beats
+     the one-object reconstruction by a RELATIVE margin (the margin is
+     the knob that prices the extra object, MDL-style; it is calibrated
+     on held-out scenes exactly like the presence threshold —
+     eval.calibrate / benchmarks/split_refine_probe.py).
+
+Everything is fixed-shape and jit-safe: M (detections considered), C
+(candidates), and the window resolution are static; the margin is a
+traced scalar applied to precomputed gains, so sweeping it costs one
+comparison, not a recompile.
+
+Geometry conventions match the rest of the codebase: normalized
+z_where-style boxes [xt, yt, xs, ys] with (xt, yt) the box center in
+[0, 1] image coordinates and (xs, ys) the box size as an image fraction
+(SURVEY.md quirk #1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from spair_pytorch_tpu.config import SpairConfig
+from spair_pytorch_tpu.models.render import composite_xla, decode_objects
+from spair_pytorch_tpu.ops.math import latent_to_mean_std
+from spair_pytorch_tpu.ops.mlp import apply_mlp1
+from spair_pytorch_tpu.ops.stn import crop_glimpses
+
+
+def corner_to_zwhere(boxes, image_hw):
+    """Pixel corner boxes (..., 4) [x0, y0, x1, y1] -> normalized
+    z_where [xt, yt, xs, ys] (the detector's inverse, infer.py:134-138)."""
+    h, w = image_hw
+    x0, y0, x1, y1 = (boxes[..., 0], boxes[..., 1],
+                      boxes[..., 2], boxes[..., 3])
+    return jnp.stack([(x0 + x1) / (2.0 * w), (y0 + y1) / (2.0 * h),
+                      (x1 - x0) / w, (y1 - y0) / h], axis=-1)
+
+
+def zwhere_to_corner(zw, image_hw):
+    """Normalized z_where (..., 4) -> pixel corner boxes [x0, y0, x1, y1]."""
+    h, w = image_hw
+    cx, cy = zw[..., 0] * w, zw[..., 1] * h
+    bw, bh = zw[..., 2] * w, zw[..., 3] * h
+    return jnp.stack([cx - bw / 2, cy - bh / 2,
+                      cx + bw / 2, cy + bh / 2], axis=-1)
+
+
+# Candidate split geometry, expressed relative to the parent box:
+# (dx_a, dy_a, dx_b, dy_b, sx, sy) — child centers at parent_center +
+# d * parent_size, child size = s * parent_size. Two separations per
+# axis-aligned direction (digits at moderate vs extreme overlap), one
+# per diagonal. A merged pair's children each still contain most of
+# their digit (the crop is border-padded), so the encoder — trained on
+# exactly this kind of off-center, partially-cropped content via the
+# noisy box posterior — sees in-distribution glimpses.
+_CANDIDATES = (
+    # side by side along x
+    (-0.25, 0.0, +0.25, 0.0, 0.62, 1.00),
+    (-0.32, 0.0, +0.32, 0.0, 0.55, 1.00),
+    # stacked along y
+    (0.0, -0.25, 0.0, +0.25, 1.00, 0.62),
+    (0.0, -0.32, 0.0, +0.32, 1.00, 0.55),
+    # diagonals
+    (-0.20, -0.20, +0.20, +0.20, 0.70, 0.70),
+    (-0.20, +0.20, +0.20, -0.20, 0.70, 0.70),
+)
+N_CANDIDATES = len(_CANDIDATES)
+
+
+def split_candidates(parent_zw):
+    """Child-box pairs for every candidate split of every parent.
+
+    parent_zw: (..., 4) normalized -> (..., C, 2, 4) normalized child
+    boxes (C = N_CANDIDATES, 2 children per candidate)."""
+    t = jnp.asarray(_CANDIDATES, dtype=parent_zw.dtype)  # (C, 6)
+    xt, yt, xs, ys = (parent_zw[..., None, 0], parent_zw[..., None, 1],
+                      parent_zw[..., None, 2], parent_zw[..., None, 3])
+    ax = jnp.stack([xt + t[:, 0] * xs, yt + t[:, 1] * ys,
+                    t[:, 4] * xs, t[:, 5] * ys], axis=-1)
+    bx = jnp.stack([xt + t[:, 2] * xs, yt + t[:, 3] * ys,
+                    t[:, 4] * xs, t[:, 5] * ys], axis=-1)
+    return jnp.stack([ax, bx], axis=-2)  # (..., C, 2, 4)
+
+
+def _encode_decode(params, cfg: SpairConfig, image, boxes_zw):
+    """Deterministic object round-trip at arbitrary boxes.
+
+    image (B, C, H, W); boxes_zw (B, N, 4) -> (color, alpha) glimpse
+    stacks (B, N, C, oh, ow): crop -> encoder posterior MEAN -> decoder
+    (z_pres = 1, z_depth = 1), i.e. the zero-noise version of the
+    training path (latents.py:217-229 + render.decode_objects)."""
+    b, n = boxes_zw.shape[:2]
+    glimpses = crop_glimpses(image, boxes_zw, cfg.object_shape)
+    if cfg.object_codec == "conv":
+        from spair_pytorch_tpu.ops.convcodec import apply_conv_encoder
+        attr_latent = apply_conv_encoder(params["object_encoder"], glimpses)
+    else:
+        attr_latent = apply_mlp1(params["object_encoder"],
+                                 glimpses.reshape(b, n, -1))
+    attr_mean, _ = latent_to_mean_std(attr_latent)
+    ones = jnp.ones((b, n, 1), attr_mean.dtype)
+    color, alpha, _ = decode_objects(params, cfg, attr_mean, ones, ones)
+    return color, alpha
+
+
+def _window_box(parent_zw, grow: float, min_frac: float):
+    """Scoring window: the parent box grown by `grow`, floored at
+    `min_frac` of the image per side (tiny parents otherwise score on a
+    few blurry pixels), centered on the parent."""
+    xt, yt, xs, ys = (parent_zw[..., 0], parent_zw[..., 1],
+                      parent_zw[..., 2], parent_zw[..., 3])
+    ws = jnp.maximum(xs * grow, min_frac)
+    hs = jnp.maximum(ys * grow, min_frac)
+    return jnp.stack([xt, yt, ws, hs], axis=-1)
+
+
+def _to_window_frame(boxes_zw, window_zw):
+    """Re-express image-normalized boxes in the window's own normalized
+    frame (so they can be pasted onto a window-sized canvas)."""
+    wx, wy, ws, hs = (window_zw[..., 0], window_zw[..., 1],
+                      window_zw[..., 2], window_zw[..., 3])
+    x0, y0 = wx - ws / 2, wy - hs / 2
+    return jnp.stack([(boxes_zw[..., 0] - x0) / ws,
+                      (boxes_zw[..., 1] - y0) / hs,
+                      boxes_zw[..., 2] / ws,
+                      boxes_zw[..., 3] / hs], axis=-1)
+
+
+def _composite_window(color, alpha, boxes_win, window_px):
+    """Reference-blend composite of K objects onto a window canvas.
+
+    color/alpha (B, K, C, oh, ow), boxes_win (B, K, 4) window-frame
+    normalized -> (B, C, wh, ww) in [0, 1]. z_depth = 1 everywhere, so
+    importance = clip(alpha, 0.01) exactly as decode_objects built it."""
+    importance = jnp.clip(alpha, 0.01, None)
+    num, den = composite_xla(color, alpha, importance, boxes_win,
+                             window_px, chunk=color.shape[1])
+    return jnp.clip(num / jnp.maximum(den, 1e-6), 0.0, 1.0)
+
+
+def split_gains(params, cfg: SpairConfig, x, boxes, scores, *,
+                top_m: int = 12, window_px: int = 32,
+                window_grow: float = 1.5, window_min_frac: float = 0.14):
+    """Score the split hypothesis for the top-M detections of a batch.
+
+    Args:
+      x:      (B, C, H, W) images in [0, 1].
+      boxes:  (B, N, 4) pixel corner boxes (detect() output).
+      scores: (B, N) presence scores (post-NMS: suppressed boxes are 0).
+      top_m, window_px, window_grow, window_min_frac: static knobs.
+
+    Returns a dict of (B, M) arrays (plus child boxes), all computed in
+    ONE pass so margin sweeps cost nothing:
+      idx         int  detection index into the N axis
+      score       f32  the detection's score
+      rel_gain    f32  (err_1obj - err_2obj_best) / (err_1obj + eps)
+      best_child  f32  (B, M, 2, 4) pixel corner boxes of the best split
+      err_parent / err_child: the raw windowed squared errors.
+    """
+    b, n = scores.shape
+    m = min(top_m, n)
+    image_hw = x.shape[-2:]
+    c_img = x.shape[1]
+
+    top_scores, idx = jax.lax.top_k(scores, m)               # (B, M)
+    boxes_m = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    parent_zw = corner_to_zwhere(boxes_m, image_hw)          # (B, M, 4)
+    # degenerate guards: scoring needs a non-empty window; 2 px floor
+    parent_zw = parent_zw.at[..., 2:].set(
+        jnp.maximum(parent_zw[..., 2:], 2.0 / max(image_hw)))
+
+    window_zw = _window_box(parent_zw, window_grow, window_min_frac)
+    children_zw = split_candidates(parent_zw)                # (B,M,C,2,4)
+
+    # one batched encoder/decoder pass over parents + every child:
+    # (B, M * (1 + 2C), 4)
+    all_zw = jnp.concatenate(
+        [parent_zw[:, :, None], children_zw.reshape(b, m, -1, 4)],
+        axis=2).reshape(b, -1, 4)
+    color, alpha = _encode_decode(params, cfg, x, all_zw)
+    oh, ow = cfg.object_shape
+    per_det = 1 + 2 * N_CANDIDATES
+    color = color.reshape(b * m, per_det, c_img, oh, ow)
+    alpha = alpha.reshape(b * m, per_det, 1, oh, ow)
+
+    # window-frame geometry, flattened to (B*M, ...) scenes
+    par_win = _to_window_frame(parent_zw, window_zw).reshape(b * m, 1, 4)
+    chd_win = _to_window_frame(
+        children_zw, window_zw[:, :, None, None]).reshape(
+            b * m, N_CANDIDATES, 2, 4)
+
+    # scoring target: the actual image resampled to each window
+    target = crop_glimpses(x, window_zw.reshape(b, m, 4),
+                           (window_px, window_px))
+    target = target.reshape(b * m, c_img, window_px, window_px)
+
+    wpx = (window_px, window_px)
+    recon_p = _composite_window(color[:, :1], alpha[:, :1], par_win, wpx)
+    err_parent = jnp.sum((recon_p - target) ** 2, axis=(1, 2, 3))
+
+    def one_candidate(k):
+        col = jax.lax.dynamic_slice_in_dim(color, 1 + 2 * k, 2, axis=1)
+        alp = jax.lax.dynamic_slice_in_dim(alpha, 1 + 2 * k, 2, axis=1)
+        recon = _composite_window(col, alp, chd_win[:, k], wpx)
+        return jnp.sum((recon - target) ** 2, axis=(1, 2, 3))
+
+    err_children = jax.vmap(one_candidate)(
+        jnp.arange(N_CANDIDATES))                            # (C, B*M)
+    best_k = jnp.argmin(err_children, axis=0)                # (B*M,)
+    err_child = jnp.min(err_children, axis=0)
+    rel_gain = (err_parent - err_child) / (err_parent + 1e-6)
+
+    best_child_zw = jnp.take_along_axis(
+        children_zw.reshape(b * m, N_CANDIDATES, 2, 4),
+        best_k[:, None, None, None], axis=1)[:, 0]           # (B*M, 2, 4)
+    best_child = zwhere_to_corner(best_child_zw, image_hw)
+
+    return {
+        "idx": idx,
+        "score": top_scores,
+        "rel_gain": rel_gain.reshape(b, m),
+        "err_parent": err_parent.reshape(b, m),
+        "err_child": err_child.reshape(b, m),
+        "best_child": best_child.reshape(b, m, 2, 4),
+    }
+
+
+def apply_splits(det: Dict, gains: Dict, margin, pres_threshold):
+    """Fold accepted splits back into a detect()-style output.
+
+    A detection splits when it is live (score >= pres_threshold) and its
+    best two-object reconstruction beats the one-object one by more than
+    `margin` (relative). The parent's slot is overwritten with child A;
+    child B lands in one of M extension slots carrying the parent's
+    score — so counts, thresholding, and box matching all see the split
+    through the ordinary (boxes, scores) surface. margin may be a traced
+    scalar.
+
+    Returns a new dict with boxes (B, N+M, 4), scores (B, N+M), count.
+    """
+    boxes, scores = det["boxes"], det["scores"]
+    b, n = scores.shape
+    m = gains["score"].shape[1]
+    accept = ((gains["score"] >= pres_threshold)
+              & (gains["rel_gain"] > margin))                # (B, M)
+
+    child_a = gains["best_child"][:, :, 0]                   # (B, M, 4)
+    child_b = gains["best_child"][:, :, 1]
+    # overwrite accepted parents' boxes with child A (scatter by idx)
+    upd = jnp.where(accept[..., None], child_a,
+                    jnp.take_along_axis(boxes, gains["idx"][..., None],
+                                        axis=1))
+    boxes = boxes.at[jnp.arange(b)[:, None], gains["idx"]].set(upd)
+    ext_scores = jnp.where(accept, gains["score"], 0.0)
+    out_boxes = jnp.concatenate([boxes, child_b], axis=1)
+    out_scores = jnp.concatenate([scores, ext_scores], axis=1)
+    count = jnp.sum(out_scores >= pres_threshold, axis=-1)
+    return {"boxes": out_boxes, "scores": out_scores, "count": count,
+            "n_split": jnp.sum(accept, axis=-1)}
+
+
+def make_refiner(cfg: SpairConfig, *, top_m: int = 12, window_px: int = 32,
+                 window_grow: float = 1.5, window_min_frac: float = 0.14):
+    """Jitted closure: refine(params, x, det, margin, threshold) -> det'.
+
+    Composes with the serving detector:
+        det = make_detector(cfg, nms_iou=...)(params, x)
+        det = make_refiner(cfg)(params, x, det, margin, threshold)
+    """
+    gains_fn = partial(split_gains, cfg=cfg, top_m=top_m,
+                       window_px=window_px, window_grow=window_grow,
+                       window_min_frac=window_min_frac)
+
+    @jax.jit
+    def refine(params, x, det, margin, pres_threshold):
+        gains = gains_fn(params, x=x, boxes=det["boxes"],
+                         scores=det["scores"])
+        return apply_splits(det, gains, margin, pres_threshold)
+
+    return refine
