@@ -166,9 +166,37 @@ def _composite_window(color, alpha, boxes_win, window_px):
     return jnp.clip(num / jnp.maximum(den, 1e-6), 0.0, 1.0)
 
 
+def _box_mask_1d(box_win, size: int):
+    """Soft axis masks for a window-frame box: (B, 4) -> (B, size) y/x
+    indicator of pixels inside the box (used for ink accounting)."""
+    j = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
+    x0 = box_win[:, 0] - box_win[:, 2] / 2
+    x1 = box_win[:, 0] + box_win[:, 2] / 2
+    y0 = box_win[:, 1] - box_win[:, 3] / 2
+    y1 = box_win[:, 1] + box_win[:, 3] / 2
+    my = ((j[None] >= y0[:, None]) & (j[None] <= y1[:, None]))
+    mx = ((j[None] >= x0[:, None]) & (j[None] <= x1[:, None]))
+    return my.astype(jnp.float32), mx.astype(jnp.float32)
+
+
+def _corner_iou(a, b):
+    """IoU between corner boxes a (..., 4) and b (..., 4), broadcasting."""
+    x0 = jnp.maximum(a[..., 0], b[..., 0])
+    y0 = jnp.maximum(a[..., 1], b[..., 1])
+    x1 = jnp.minimum(a[..., 2], b[..., 2])
+    y1 = jnp.minimum(a[..., 3], b[..., 3])
+    inter = jnp.clip(x1 - x0, 0) * jnp.clip(y1 - y0, 0)
+    area_a = jnp.clip(a[..., 2] - a[..., 0], 0) * jnp.clip(
+        a[..., 3] - a[..., 1], 0)
+    area_b = jnp.clip(b[..., 2] - b[..., 0], 0) * jnp.clip(
+        b[..., 3] - b[..., 1], 0)
+    return inter / jnp.maximum(area_a + area_b - inter, 1e-9)
+
+
 def split_gains(params, cfg: SpairConfig, x, boxes, scores, *,
                 top_m: int = 12, window_px: int = 32,
-                window_grow: float = 1.5, window_min_frac: float = 0.14):
+                window_grow: float = 1.5, window_min_frac: float = 0.14,
+                pres_threshold: float = 0.5):
     """Score the split hypothesis for the top-M detections of a batch.
 
     Args:
@@ -182,6 +210,10 @@ def split_gains(params, cfg: SpairConfig, x, boxes, scores, *,
       idx         int  detection index into the N axis
       score       f32  the detection's score
       rel_gain    f32  (err_1obj - err_2obj_best) / (err_1obj + eps)
+      ink         f32  image ink mass inside the parent box (~2x a clean
+                       single digit's when two digits merged)
+      neighbor_iou f32 worst child-vs-OTHER-live-detection IoU (duplicate
+                       guard; see apply_splits)
       best_child  f32  (B, M, 2, 4) pixel corner boxes of the best split
       err_parent / err_child: the raw windowed squared errors.
     """
@@ -225,6 +257,13 @@ def split_gains(params, cfg: SpairConfig, x, boxes, scores, *,
     wpx = (window_px, window_px)
     recon_p = _composite_window(color[:, :1], alpha[:, :1], par_win, wpx)
     err_parent = jnp.sum((recon_p - target) ** 2, axis=(1, 2, 3))
+    # ink mass inside the PARENT box (window pixels re-weighted to the
+    # parent region): a merged pair carries roughly two digits of ink,
+    # a clean single roughly one — a second, nearly-free decision axis
+    # (benchmarks/split_refine_probe.py sweeps it alongside the margin).
+    pm_y, pm_x = _box_mask_1d(par_win[:, 0], window_px)
+    ink = jnp.sum(target * pm_y[:, None, :, None] * pm_x[:, None, None, :],
+                  axis=(1, 2, 3))
 
     def one_candidate(k):
         col = jax.lax.dynamic_slice_in_dim(color, 1 + 2 * k, 2, axis=1)
@@ -241,7 +280,21 @@ def split_gains(params, cfg: SpairConfig, x, boxes, scores, *,
     best_child_zw = jnp.take_along_axis(
         children_zw.reshape(b * m, N_CANDIDATES, 2, 4),
         best_k[:, None, None, None], axis=1)[:, 0]           # (B*M, 2, 4)
-    best_child = zwhere_to_corner(best_child_zw, image_hw)
+    best_child = zwhere_to_corner(best_child_zw, image_hw).reshape(
+        b, m, 2, 4)
+
+    # duplicate guard: if either child mostly re-covers ANOTHER live
+    # detection, the "second object" already has its own detection and a
+    # split would double-count — report the worst overlap so the caller
+    # can gate on it (pres_threshold only builds this live mask).
+    other_live = (scores >= pres_threshold)                  # (B, N)
+    not_self = (jnp.arange(n)[None, None, :]
+                != idx[..., None])                           # (B, M, N)
+    iou_cn = _corner_iou(best_child[:, :, :, None, :],
+                         boxes[:, None, None, :, :])         # (B, M, 2, N)
+    masked = jnp.where((other_live[:, None, None, :] & not_self[:, :, None]),
+                       iou_cn, 0.0)
+    neighbor_iou = jnp.max(masked, axis=(2, 3))              # (B, M)
 
     return {
         "idx": idx,
@@ -249,20 +302,26 @@ def split_gains(params, cfg: SpairConfig, x, boxes, scores, *,
         "rel_gain": rel_gain.reshape(b, m),
         "err_parent": err_parent.reshape(b, m),
         "err_child": err_child.reshape(b, m),
-        "best_child": best_child.reshape(b, m, 2, 4),
+        "ink": ink.reshape(b, m),
+        "neighbor_iou": neighbor_iou,
+        "best_child": best_child,
     }
 
 
-def apply_splits(det: Dict, gains: Dict, margin, pres_threshold):
+def apply_splits(det: Dict, gains: Dict, margin, pres_threshold,
+                 max_neighbor_iou: float = 0.3, ink_min: float = 0.0):
     """Fold accepted splits back into a detect()-style output.
 
-    A detection splits when it is live (score >= pres_threshold) and its
+    A detection splits when it is live (score >= pres_threshold), its
     best two-object reconstruction beats the one-object one by more than
-    `margin` (relative). The parent's slot is overwritten with child A;
-    child B lands in one of M extension slots carrying the parent's
-    score — so counts, thresholding, and box matching all see the split
-    through the ordinary (boxes, scores) surface. margin may be a traced
-    scalar.
+    `margin` (relative), neither child mostly re-covers another live
+    detection (neighbor_iou <= max_neighbor_iou — a split must explain
+    UNDETECTED ink, not duplicate a neighbor), and the parent region
+    holds at least `ink_min` ink. The parent's slot is overwritten with
+    child A; child B lands in one of M extension slots carrying the
+    parent's score — so counts, thresholding, and box matching all see
+    the split through the ordinary (boxes, scores) surface. margin /
+    gates may be traced scalars.
 
     Returns a new dict with boxes (B, N+M, 4), scores (B, N+M), count.
     """
@@ -270,7 +329,9 @@ def apply_splits(det: Dict, gains: Dict, margin, pres_threshold):
     b, n = scores.shape
     m = gains["score"].shape[1]
     accept = ((gains["score"] >= pres_threshold)
-              & (gains["rel_gain"] > margin))                # (B, M)
+              & (gains["rel_gain"] > margin)
+              & (gains["neighbor_iou"] <= max_neighbor_iou)
+              & (gains["ink"] >= ink_min))                   # (B, M)
 
     child_a = gains["best_child"][:, :, 0]                   # (B, M, 4)
     child_b = gains["best_child"][:, :, 1]
@@ -288,7 +349,8 @@ def apply_splits(det: Dict, gains: Dict, margin, pres_threshold):
 
 
 def make_refiner(cfg: SpairConfig, *, top_m: int = 12, window_px: int = 32,
-                 window_grow: float = 1.5, window_min_frac: float = 0.14):
+                 window_grow: float = 1.5, window_min_frac: float = 0.14,
+                 max_neighbor_iou: float = 0.3, ink_min: float = 0.0):
     """Jitted closure: refine(params, x, det, margin, threshold) -> det'.
 
     Composes with the serving detector:
@@ -302,7 +364,10 @@ def make_refiner(cfg: SpairConfig, *, top_m: int = 12, window_px: int = 32,
     @jax.jit
     def refine(params, x, det, margin, pres_threshold):
         gains = gains_fn(params, x=x, boxes=det["boxes"],
-                         scores=det["scores"])
-        return apply_splits(det, gains, margin, pres_threshold)
+                         scores=det["scores"],
+                         pres_threshold=pres_threshold)
+        return apply_splits(det, gains, margin, pres_threshold,
+                            max_neighbor_iou=max_neighbor_iou,
+                            ink_min=ink_min)
 
     return refine

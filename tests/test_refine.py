@@ -60,8 +60,9 @@ def test_split_gains_shapes_and_topm():
     b, n = det["scores"].shape
     assert g["rel_gain"].shape == (b, 5)
     assert g["best_child"].shape == (b, 5, 2, 4)
-    for k in ("rel_gain", "err_parent", "err_child", "score"):
+    for k in ("rel_gain", "err_parent", "err_child", "score", "ink"):
         assert np.isfinite(np.asarray(g[k])).all(), k
+    assert (np.asarray(g["ink"]) >= 0).all()
     # idx points at the true top-5 scores, and gains picked the best
     # candidate: err_child <= err_parent would NOT always hold (split can
     # be worse), but rel_gain must be <= 1 and err_* >= 0
@@ -95,8 +96,11 @@ def test_apply_splits_margin_inf_is_noop():
 def test_apply_splits_accept_all_counts():
     cfg, params, x, det = _setup()
     th = 0.3
-    g = split_gains(params, cfg, x, det["boxes"], det["scores"], top_m=4)
-    out = apply_splits(det, g, margin=-jnp.inf, pres_threshold=th)
+    g = split_gains(params, cfg, x, det["boxes"], det["scores"], top_m=4,
+                    pres_threshold=th)
+    # gates wide open: every live detection must split
+    out = apply_splits(det, g, margin=-jnp.inf, pres_threshold=th,
+                       max_neighbor_iou=2.0)
     live = np.asarray(g["score"]) >= th            # (B, 4)
     base = np.asarray(jnp.sum(det["scores"] >= th, axis=-1))
     np.testing.assert_array_equal(np.asarray(out["n_split"]),
