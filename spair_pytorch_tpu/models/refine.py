@@ -264,6 +264,12 @@ def split_gains(params, cfg: SpairConfig, x, boxes, scores, *,
     pm_y, pm_x = _box_mask_1d(par_win[:, 0], window_px)
     ink = jnp.sum(target * pm_y[:, None, :, None] * pm_x[:, None, None, :],
                   axis=(1, 2, 3))
+    # normalize to IMAGE-pixel units: the window was resampled to a fixed
+    # window_px grid, so raw sums scale with (window area / window_px^2)
+    # and would not be comparable across differently-sized detections
+    win_area_px = (window_zw[..., 2] * image_hw[1]
+                   * window_zw[..., 3] * image_hw[0]).reshape(b * m)
+    ink = ink * win_area_px / float(window_px * window_px)
 
     def one_candidate(k):
         col = jax.lax.dynamic_slice_in_dim(color, 1 + 2 * k, 2, axis=1)
