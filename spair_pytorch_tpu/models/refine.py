@@ -28,6 +28,17 @@ model itself as the judge, with no retraining and no new parameters:
      on held-out scenes exactly like the presence threshold —
      eval.calibrate / benchmarks/split_refine_probe.py).
 
+MEASURED VERDICT (round 5, benchmarks/RESULTS.md "split-refinement
+second pass: NEGATIVE"): on scattered-MNIST cluttered scenes the
+reconstruction-gain signal does NOT discriminate merged from correct
+detections (gain p50/p90 -0.34/+0.12 on undercounted scenes vs
+-0.37/+0.10 on correct ones); the calibrated optimum is effectively
+"refine off" (5+-overlap stratum 0.615 vs 0.611 baseline, bar 0.634).
+At 14x14 glimpse resolution one grown box + one z_what reconstructs a
+two-digit blob as well as two boxes do — the same mechanism that killed
+every training-time capacity lever. Kept available (tested, jit-safe)
+for data where the likelihood can discriminate; NOT in any preset.
+
 Everything is fixed-shape and jit-safe: M (detections considered), C
 (candidates), and the window resolution are static; the margin is a
 traced scalar applied to precomputed gains, so sweeping it costs one
