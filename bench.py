@@ -141,6 +141,8 @@ def run_check(cfg):
 
 
 def main():
+    from spair_pytorch_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # compile-only; timed steps are post-warmup
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=50,
                    help="K: steps per device call (one lax.scan dispatch)")

@@ -26,6 +26,7 @@ from spair_pytorch_tpu.config import PRESETS
 from spair_pytorch_tpu.models import forward
 from spair_pytorch_tpu.parallel import create_train_state
 from spair_pytorch_tpu.train import make_data
+from spair_pytorch_tpu.utils.compile_cache import enable_persistent_cache
 
 
 def evaluate(cfg, state, batches: int = 32, data=None, seed: int = 1234,
@@ -218,6 +219,7 @@ def calibrate(cfg, state, batches: int = 8, data=None, seed: int = 4321,
 
 
 def main(argv=None):
+    enable_persistent_cache()  # SPAIR_COMPILE_CACHE=0 opts out
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--logdir", required=True)
     p.add_argument("--preset", default="paper128", choices=sorted(PRESETS))

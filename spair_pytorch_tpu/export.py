@@ -24,11 +24,13 @@ import jax
 from spair_pytorch_tpu.config import PRESETS
 from spair_pytorch_tpu.parallel import create_train_state
 from spair_pytorch_tpu.utils.checkpoint import CheckpointManager
+from spair_pytorch_tpu.utils.compile_cache import enable_persistent_cache
 from spair_pytorch_tpu.utils.interop import (from_torch_state_dict,
                                              to_torch_state_dict)
 
 
 def main(argv=None):
+    enable_persistent_cache()  # SPAIR_COMPILE_CACHE=0 opts out
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--logdir", required=True)
     p.add_argument("--preset", default="paper128", choices=sorted(PRESETS))

@@ -20,10 +20,12 @@ import jax
 from spair_pytorch_tpu.config import PRESETS
 from spair_pytorch_tpu.data import DataConfig, generate_batch, glyph_bank
 from spair_pytorch_tpu.parallel import create_train_state, make_train_step
+from spair_pytorch_tpu.utils.compile_cache import enable_persistent_cache
 from spair_pytorch_tpu.utils.debug import Benchmark
 
 
 def main(argv=None):
+    enable_persistent_cache()  # SPAIR_COMPILE_CACHE=0 opts out
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="paper128", choices=sorted(PRESETS))
     p.add_argument("--steps", type=int, default=5)

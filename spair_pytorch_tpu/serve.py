@@ -37,6 +37,7 @@ import numpy as np
 
 from spair_pytorch_tpu.config import PRESETS, SpairConfig
 from spair_pytorch_tpu.models.infer import make_detector
+from spair_pytorch_tpu.utils.compile_cache import enable_persistent_cache
 
 
 class DetectorServer:
@@ -129,6 +130,7 @@ def resolve_nms(cli_value: Optional[float],
 
 
 def main(argv=None):
+    enable_persistent_cache()  # SPAIR_COMPILE_CACHE=0 opts out
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="paper128", choices=sorted(PRESETS))
     p.add_argument("--logdir", default=None,

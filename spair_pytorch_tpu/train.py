@@ -31,6 +31,7 @@ from spair_pytorch_tpu.models import forward
 from spair_pytorch_tpu.parallel import (create_train_state, make_mesh,
                                         make_train_step, shard_batch,
                                         replicate)
+from spair_pytorch_tpu.utils.compile_cache import enable_persistent_cache
 from spair_pytorch_tpu.utils.logging import MetricWriter
 
 
@@ -413,6 +414,7 @@ def train(cfg: SpairConfig,
 
 
 def main(argv=None):
+    enable_persistent_cache()  # SPAIR_COMPILE_CACHE=0 opts out
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="paper128", choices=sorted(PRESETS))
     p.add_argument("--steps", type=int, default=10000)
