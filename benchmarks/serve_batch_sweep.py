@@ -49,8 +49,15 @@ def main():
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--threshold", type=float, default=None)
     p.add_argument("--nms", type=float, default=None)
+    p.add_argument("--dtypes", default="config",
+                   help="comma list of compute dtypes per arm: 'config' "
+                        "(the checkpoint's trained dtype), 'float32', "
+                        "'bfloat16'. Arms are the (batch x dtype) product, "
+                        "interleaved every round. Parity companion: "
+                        "serve_dtype_ab.py")
     args = p.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
+    dtypes = args.dtypes.split(",")
 
     cfg = PRESETS[args.preset]()
     if args.logdir:
@@ -84,36 +91,39 @@ def main():
     import dataclasses
     arms = {}
     for b in batches:
-        cfg_b = dataclasses.replace(cfg, batch_size=b)
         x0, _, _ = generate_batch(jax.random.PRNGKey(7), bank, b, dcfg)
+        for dt_name in dtypes:
+            cfg_b = dataclasses.replace(cfg, batch_size=b)
+            if dt_name != "config":
+                cfg_b = dataclasses.replace(cfg_b, compute_dtype=dt_name)
 
-        def k_detect(s, _x=x0, _cfg=cfg_b):
-            def body(c, _):
-                out = detect(params, _x + c * 1e-6, _cfg, threshold,
-                             nms_iou=nms_iou)
-                return c + out["scores"].mean() * 1e-9, ()
-            return jax.lax.scan(body, s, None, length=args.k)[0]
+            def k_detect(s, _x=x0, _cfg=cfg_b):
+                def body(c, _):
+                    out = detect(params, _x + c * 1e-6, _cfg, threshold,
+                                 nms_iou=nms_iou)
+                    return c + out["scores"].mean() * 1e-9, ()
+                return jax.lax.scan(body, s, None, length=args.k)[0]
 
-        jitted = jax.jit(k_detect)
-        jax.device_get(jitted(0.0))  # compile + warm
-        arms[b] = jitted
+            jitted = jax.jit(k_detect)
+            jax.device_get(jitted(0.0))  # compile + warm
+            arms[(b, dt_name)] = jitted
 
-    samples = {b: [] for b in batches}
+    samples = {key: [] for key in arms}
     for r in range(args.rounds):
-        for b in batches:  # interleaved: every round touches every arm
-            d = delta_time_once(arms[b], args.k)
+        for key in arms:  # interleaved: every round touches every arm
+            d = delta_time_once(arms[key], args.k)
             if d > 0:
-                samples[b].append(d)
+                samples[key].append(d)
         time.sleep(1)
 
-    print(f"\n{'batch':>6} {'ms/call':>9} {'img/s':>10}  (median of "
-          f"{args.rounds} interleaved rounds, K={args.k} fused)")
-    for b in batches:
-        if not samples[b]:
-            print(f"{b:>6}   all-rounds-corrupted")
+    print(f"\n{'batch':>6} {'dtype':>9} {'ms/call':>9} {'img/s':>10}  "
+          f"(median of {args.rounds} interleaved rounds, K={args.k} fused)")
+    for (b, dt_name) in arms:
+        if not samples[(b, dt_name)]:
+            print(f"{b:>6} {dt_name:>9}   all-rounds-corrupted")
             continue
-        dt = float(np.median(samples[b]))
-        print(f"{b:>6} {dt * 1e3:9.2f} {b / dt:10.0f}")
+        dt = float(np.median(samples[(b, dt_name)]))
+        print(f"{b:>6} {dt_name:>9} {dt * 1e3:9.2f} {b / dt:10.0f}")
 
 
 if __name__ == "__main__":
